@@ -1,0 +1,61 @@
+"""Operational-space control matrix kernels in JAX.
+
+Torque-for-torque re-derivation of reference utils/control_utils.py:7-111
+(numba-jitted there; jit/vmap-batched here). These are the OSC hot-path
+matrices the BASELINE parity metric is measured against.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from robosuite_tpu.utils.transforms import orientation_error  # noqa: F401  (re-export)
+
+
+def _pinv_sym(a, rcond=1e-15):
+    """Pseudo-inverse of a symmetric PSD matrix via eigendecomposition.
+
+    Mirrors np.linalg.pinv's small-singular-value cutoff
+    (reference control_utils.py:74-77 "zero out small singular values").
+    """
+    w, v = jnp.linalg.eigh(a)
+    cutoff = rcond * jnp.max(jnp.abs(w), axis=-1, keepdims=True)
+    inv_w = jnp.where(jnp.abs(w) > cutoff, 1.0 / w, 0.0)
+    return (v * inv_w[..., None, :]) @ jnp.swapaxes(v, -1, -2)
+
+
+def opspace_matrices(mass_matrix, J_full, J_pos, J_ori):
+    """(lambda_full, lambda_pos, lambda_ori, nullspace_matrix).
+
+    Exact math of reference control_utils.py:43-82.
+    """
+    mass_matrix_inv = jnp.linalg.inv(mass_matrix)
+    lambda_full_inv = J_full @ mass_matrix_inv @ jnp.swapaxes(J_full, -1, -2)
+    lambda_pos_inv = J_pos @ mass_matrix_inv @ jnp.swapaxes(J_pos, -1, -2)
+    lambda_ori_inv = J_ori @ mass_matrix_inv @ jnp.swapaxes(J_ori, -1, -2)
+
+    lambda_full = _pinv_sym(lambda_full_inv)
+    lambda_pos = _pinv_sym(lambda_pos_inv)
+    lambda_ori = _pinv_sym(lambda_ori_inv)
+
+    Jbar = mass_matrix_inv @ jnp.swapaxes(J_full, -1, -2) @ lambda_full
+    n = J_full.shape[-1]
+    nullspace_matrix = jnp.eye(n, dtype=J_full.dtype) - Jbar @ J_full
+    return lambda_full, lambda_pos, lambda_ori, nullspace_matrix
+
+
+def nullspace_torques(mass_matrix, nullspace_matrix, initial_joint, joint_pos, joint_vel, joint_kp=10.0):
+    """Reference control_utils.py:7-40, with critical damping kv = 2 sqrt(kp)."""
+    joint_kv = jnp.sqrt(joint_kp) * 2.0
+    pose_torques = mass_matrix @ (joint_kp * (initial_joint - joint_pos) - joint_kv * joint_vel)
+    return jnp.swapaxes(nullspace_matrix, -1, -2) @ pose_torques
+
+
+def scale_action(action, input_min, input_max, output_min, output_max):
+    """Clip to input range then affine-map to output range
+    (reference controllers/parts/controller.py:149-168)."""
+    action_scale = jnp.abs(output_max - output_min) / jnp.abs(input_max - input_min)
+    action_output_transform = (output_max + output_min) / 2.0
+    action_input_transform = (input_max + input_min) / 2.0
+    action = jnp.clip(action, input_min, input_max)
+    return (action - action_input_transform) * action_scale + action_output_transform

@@ -1,0 +1,195 @@
+"""Operational Space Controller (OSC_POSE / OSC_POSITION).
+
+Torque-exact re-derivation of reference controllers/parts/arm/osc.py:
+  * set_goal semantics (osc.py:225-283): action scaling, delta/absolute,
+    base/world reference frames, variable-impedance action parsing
+  * run_controller law (osc.py:403-495):
+      F = kp .* e_pos + kd .* (v_base - v_ref)
+      tau = J^T (Lambda F) + qfrc_bias + nullspace torques
+  * defaults kp=150, damping_ratio=1, output_max (0.05 m, 0.5 rad)
+    (osc.py:122-128, config/default/composite/basic.json)
+
+Functional: config is static, goal state is an explicit pytree, both clocks
+(policy-rate set_goal, substep-rate run) are pure functions of (cfg, state,
+ArmView).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+import jax.numpy as jnp
+from flax import struct
+
+from robosuite_tpu.controllers import control_utils as C
+from robosuite_tpu.controllers.base import ArmView, nums2array
+from robosuite_tpu.utils import transforms as T
+
+IMPEDANCE_MODES = ("fixed", "variable", "variable_kp")
+
+
+@dataclasses.dataclass(frozen=True)
+class OSCConfig:
+    control_ori: bool = True
+    input_max: Any = 1.0
+    input_min: Any = -1.0
+    output_max: Any = (0.05, 0.05, 0.05, 0.5, 0.5, 0.5)
+    output_min: Any = (-0.05, -0.05, -0.05, -0.5, -0.5, -0.5)
+    kp: Any = 150.0
+    damping_ratio: Any = 1.0
+    impedance_mode: str = "fixed"
+    kp_limits: Tuple[float, float] = (0.0, 300.0)
+    damping_ratio_limits: Tuple[float, float] = (0.0, 100.0)
+    policy_freq: int = 20
+    input_type: str = "delta"
+    input_ref_frame: str = "base"
+    uncouple_pos_ori: bool = True
+
+    @property
+    def base_dim(self) -> int:
+        return 6 if self.control_ori else 3
+
+    @property
+    def control_dim(self) -> int:
+        d = self.base_dim
+        if self.impedance_mode == "variable":
+            d += 12
+        elif self.impedance_mode == "variable_kp":
+            d += 6
+        return d
+
+    def arrays(self):
+        d = self.base_dim
+        return dict(
+            input_max=jnp.asarray(nums2array(self.input_max, d)),
+            input_min=jnp.asarray(nums2array(self.input_min, d)),
+            output_max=jnp.asarray(nums2array(self.output_max, d)),
+            output_min=jnp.asarray(nums2array(self.output_min, d)),
+            kp=jnp.asarray(nums2array(self.kp, 6)),
+            kp_min=jnp.asarray(nums2array(self.kp_limits[0], 6)),
+            kp_max=jnp.asarray(nums2array(self.kp_limits[1], 6)),
+            dr_min=jnp.asarray(nums2array(self.damping_ratio_limits[0], 6)),
+            dr_max=jnp.asarray(nums2array(self.damping_ratio_limits[1], 6)),
+        )
+
+
+@struct.dataclass
+class OSCState:
+    goal_pos: Any   # (3,) in controller ref frame
+    goal_ori: Any   # (3,3) in controller ref frame
+    kp: Any         # (6,)
+    kd: Any         # (6,)
+
+
+def _world_to_origin_frame(view: ArmView, vec):
+    """reference osc.py:284-298: world point -> base frame."""
+    return view.origin_ori.T @ (vec - view.origin_pos)
+
+
+def _eef_pose_in_origin(view: ArmView):
+    """reference osc.py:300-304 goal_origin_to_eef_pose."""
+    pos = view.origin_ori.T @ (view.ref_pos - view.origin_pos)
+    ori = view.origin_ori.T @ view.ref_ori_mat
+    return pos, ori
+
+
+def init_state(cfg: OSCConfig, view: ArmView) -> OSCState:
+    """Goal defaults to the current pose in the controller frame
+    (osc.py:306-350 compute_goal_pos/ori with goal None)."""
+    arrs = cfg.arrays()
+    kp = arrs["kp"]
+    kd = 2.0 * jnp.sqrt(kp) * jnp.asarray(nums2array(cfg.damping_ratio, 6))
+    if cfg.input_ref_frame == "base":
+        pos, ori = _eef_pose_in_origin(view)
+    else:
+        pos, ori = view.ref_pos, view.ref_ori_mat
+    return OSCState(goal_pos=pos, goal_ori=ori, kp=kp, kd=kd)
+
+
+def set_goal(cfg: OSCConfig, state: OSCState, view: ArmView, action, goal_update_mode: str = "achieved") -> OSCState:
+    """reference osc.py:225-283 + compute_goal_pos/ori (:306-404).
+
+    goal_update_mode: "achieved" updates relative to current eef pose,
+    "desired" relative to the previous goal (composite_controller.py:258-276
+    HybridMobileBase switches between them).
+    """
+    arrs = cfg.arrays()
+    kp, kd = state.kp, state.kd
+    d = cfg.base_dim
+
+    if cfg.impedance_mode == "variable":
+        damping_ratio, kp_in, goal_update = action[:6], action[6:12], action[12:]
+        kp = jnp.clip(kp_in, arrs["kp_min"], arrs["kp_max"])
+        kd = 2.0 * jnp.sqrt(kp) * jnp.clip(damping_ratio, arrs["dr_min"], arrs["dr_max"])
+    elif cfg.impedance_mode == "variable_kp":
+        kp_in, goal_update = action[:6], action[6:]
+        kp = jnp.clip(kp_in, arrs["kp_min"], arrs["kp_max"])
+        kd = 2.0 * jnp.sqrt(kp)
+    else:
+        goal_update = action
+
+    if cfg.input_type == "delta":
+        scaled_delta = C.scale_action(
+            goal_update[:d], arrs["input_min"], arrs["input_max"], arrs["output_min"], arrs["output_max"]
+        )
+        pos_delta = scaled_delta[0:3]
+        ori_delta = scaled_delta[3:6] if cfg.control_ori else jnp.zeros(3)
+
+        # current achieved pose in controller frame
+        if cfg.input_ref_frame == "base":
+            cur_pos, cur_ori = _eef_pose_in_origin(view)
+        else:
+            cur_pos, cur_ori = view.ref_pos, view.ref_ori_mat
+        base_pos = cur_pos if goal_update_mode == "achieved" else state.goal_pos
+        base_ori = cur_ori if goal_update_mode == "achieved" else state.goal_ori
+        goal_pos = base_pos + pos_delta
+        rot_err = T.quat2mat(T.axisangle2quat(ori_delta))
+        goal_ori = rot_err @ base_ori
+    else:  # absolute
+        goal_pos = goal_update[0:3]
+        if cfg.control_ori:
+            goal_ori = T.quat2mat(T.axisangle2quat(goal_update[3:6]))
+        else:
+            if cfg.input_ref_frame == "base":
+                _, goal_ori = _eef_pose_in_origin(view)
+            else:
+                goal_ori = view.ref_ori_mat
+
+    return OSCState(goal_pos=goal_pos, goal_ori=goal_ori, kp=kp, kd=kd)
+
+
+def run(cfg: OSCConfig, state: OSCState, view: ArmView):
+    """reference osc.py:403-495 run_controller — returns joint torques."""
+    # goal in world frame
+    if cfg.input_ref_frame == "base":
+        desired_pos = view.origin_pos + view.origin_ori @ state.goal_pos
+        desired_ori = view.origin_ori @ state.goal_ori
+    else:
+        desired_pos = state.goal_pos
+        desired_ori = state.goal_ori
+
+    ori_error = T.orientation_error(desired_ori, view.ref_ori_mat)
+    position_error = desired_pos - view.ref_pos
+    # velocity errors measured relative to the base site (osc.py:455-470)
+    vel_pos_error = -(view.ref_pos_vel - view.origin_pos_vel)
+    vel_ori_error = -(view.ref_ori_vel - view.origin_ori_vel)
+
+    desired_force = position_error * state.kp[0:3] + vel_pos_error * state.kd[0:3]
+    desired_torque = ori_error * state.kp[3:6] + vel_ori_error * state.kd[3:6]
+
+    J_full = view.J_full
+    lambda_full, lambda_pos, lambda_ori, nullspace_matrix = C.opspace_matrices(
+        view.mass_matrix, J_full, view.J_pos, view.J_ori
+    )
+
+    if cfg.uncouple_pos_ori:
+        decoupled_wrench = jnp.concatenate([lambda_pos @ desired_force, lambda_ori @ desired_torque])
+    else:
+        decoupled_wrench = lambda_full @ jnp.concatenate([desired_force, desired_torque])
+
+    torques = J_full.T @ decoupled_wrench + view.torque_compensation
+    torques = torques + C.nullspace_torques(
+        view.mass_matrix, nullspace_matrix, view.initial_joint, view.joint_pos, view.joint_vel
+    )
+    return torques

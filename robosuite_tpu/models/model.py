@@ -1,0 +1,591 @@
+"""Model compiler: ModelSpec -> frozen array pytree.
+
+TPU-native replacement for the MuJoCo model compiler as consumed by the
+reference (models/base.py:125-147 get_model -> mujoco.MjModel). All name
+resolution happens here, once, at compile time — the runtime physics core
+sees only integer-indexed arrays (the reference resolves names to addresses
+once per episode at _setup_references time, robots/robot.py:302-332; we do it
+once per model, at trace time).
+
+Static structure (tree topology, joint types, pair lists) lives in the
+pytree's aux data so jitted functions can unroll over it; numeric parameters
+are array leaves.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from robosuite_tpu.models import spec as S
+
+
+def _static(**kw):
+    return struct.field(pytree_node=False, **kw)
+
+
+@struct.dataclass
+class Model:
+    """Compiled model: constants of one world, shared across all batched
+    scenarios. Array leaves are jnp arrays; structural metadata is static."""
+
+    # ---- static structure -------------------------------------------------
+    nq: int = _static()
+    nv: int = _static()
+    nu: int = _static()
+    nbody: int = _static()
+    njnt: int = _static()
+    ngeom: int = _static()
+    nsite: int = _static()
+    ncam: int = _static()
+    npair: int = _static()
+
+    body_parentid: Tuple[int, ...] = _static()
+    body_jntadr: Tuple[int, ...] = _static()
+    body_jntnum: Tuple[int, ...] = _static()
+    body_weldid: Tuple[int, ...] = _static()
+    jnt_type: Tuple[int, ...] = _static()
+    jnt_bodyid: Tuple[int, ...] = _static()
+    jnt_qposadr: Tuple[int, ...] = _static()
+    jnt_dofadr: Tuple[int, ...] = _static()
+    dof_bodyid: Tuple[int, ...] = _static()
+    dof_jntid: Tuple[int, ...] = _static()
+    geom_bodyid: Tuple[int, ...] = _static()
+    geom_type: Tuple[int, ...] = _static()
+    site_bodyid: Tuple[int, ...] = _static()
+    cam_bodyid: Tuple[int, ...] = _static()
+    actuator_kind: Tuple[str, ...] = _static()
+    actuator_jntid: Tuple[int, ...] = _static()
+    pair_geom1: Tuple[int, ...] = _static()
+    pair_geom2: Tuple[int, ...] = _static()
+
+    body_names: Tuple[str, ...] = _static()
+    jnt_names: Tuple[str, ...] = _static()
+    geom_names: Tuple[str, ...] = _static()
+    site_names: Tuple[str, ...] = _static()
+    cam_names: Tuple[str, ...] = _static()
+    actuator_names: Tuple[str, ...] = _static()
+
+    timestep: float = _static()
+    impratio: float = _static()
+
+    # ---- array parameters --------------------------------------------------
+    body_pos: Any = None          # (nbody, 3)
+    body_quat: Any = None         # (nbody, 4) wxyz
+    body_ipos: Any = None         # (nbody, 3)
+    body_iquat: Any = None        # (nbody, 4) wxyz
+    body_mass: Any = None         # (nbody,)
+    body_inertia: Any = None      # (nbody, 3) principal moments
+
+    jnt_pos: Any = None           # (njnt, 3)
+    jnt_axis: Any = None          # (njnt, 3)
+    jnt_range: Any = None         # (njnt, 2)
+    jnt_limited: Any = None       # (njnt,) 0/1
+    jnt_stiffness: Any = None     # (njnt,)
+
+    dof_damping: Any = None       # (nv,)
+    dof_armature: Any = None      # (nv,)
+    dof_frictionloss: Any = None  # (nv,)
+
+    geom_pos: Any = None          # (ngeom, 3)
+    geom_quat: Any = None         # (ngeom, 4)
+    geom_size: Any = None         # (ngeom, 3)
+    geom_friction: Any = None     # (ngeom, 3)
+    geom_margin: Any = None       # (ngeom,)
+
+    site_pos: Any = None          # (nsite, 3)
+    site_quat: Any = None         # (nsite, 4)
+
+    cam_pos: Any = None           # (ncam, 3)
+    cam_quat: Any = None          # (ncam, 4)
+    cam_fovy: Any = None          # (ncam,)
+
+    actuator_gear: Any = None       # (nu,)
+    actuator_ctrlrange: Any = None  # (nu, 2)
+    actuator_forcerange: Any = None # (nu, 2)
+    actuator_gainprm: Any = None    # (nu,) kp for position, kv for velocity
+    actuator_ctrllimited: Any = None  # (nu,)
+    actuator_forcelimited: Any = None # (nu,)
+
+    pair_friction: Any = None     # (npair, 3)
+    pair_solref: Any = None       # (npair, 2)
+    pair_solimp: Any = None       # (npair, 5)
+    pair_margin: Any = None       # (npair,)
+
+    qpos0: Any = None             # (nq,)
+    qpos_spring: Any = None       # (nq,)
+    gravity: Any = None           # (3,)
+    ancestor_mask: Any = None     # (nbody, nv) 1.0 if dof moves body
+
+    # ---- name lookup -------------------------------------------------------
+    def body_name2id(self, name: str) -> int:
+        return self.body_names.index(name)
+
+    def jnt_name2id(self, name: str) -> int:
+        return self.jnt_names.index(name)
+
+    def geom_name2id(self, name: str) -> int:
+        return self.geom_names.index(name)
+
+    def site_name2id(self, name: str) -> int:
+        return self.site_names.index(name)
+
+    def cam_name2id(self, name: str) -> int:
+        return self.cam_names.index(name)
+
+    def actuator_name2id(self, name: str) -> int:
+        return self.actuator_names.index(name)
+
+    def jnt_qpos_slice(self, name: str):
+        j = self.jnt_name2id(name)
+        return slice(self.jnt_qposadr[j], self.jnt_qposadr[j] + S.JOINT_NQ[self.jnt_type[j]])
+
+    def jnt_dof_slice(self, name: str):
+        j = self.jnt_name2id(name)
+        return slice(self.jnt_dofadr[j], self.jnt_dofadr[j] + S.JOINT_NV[self.jnt_type[j]])
+
+
+# ---------------------------------------------------------------------------
+# geometry -> inertia helpers (MuJoCo-equivalent analytic formulas)
+# ---------------------------------------------------------------------------
+
+
+def _geom_mass_inertia(g: S.GeomSpec):
+    """Return (mass, COM-frame 3x3 inertia in geom frame) for a primitive."""
+    t = S.GEOM_TYPES[g.type]
+    sz = g.size
+    if t == S.SPHERE:
+        r = sz[0]
+        vol = 4.0 / 3.0 * math.pi * r ** 3
+        m = g.mass if g.mass is not None else g.density * vol
+        i = 0.4 * m * r * r
+        return m, np.diag([i, i, i])
+    if t == S.BOX:
+        hx, hy, hz = sz
+        vol = 8.0 * hx * hy * hz
+        m = g.mass if g.mass is not None else g.density * vol
+        return m, np.diag(
+            [m / 3.0 * (hy * hy + hz * hz), m / 3.0 * (hx * hx + hz * hz), m / 3.0 * (hx * hx + hy * hy)]
+        )
+    if t == S.CYLINDER:
+        r, hl = sz[0], sz[1]
+        vol = math.pi * r * r * 2.0 * hl
+        m = g.mass if g.mass is not None else g.density * vol
+        ixx = m * (3.0 * r * r + 4.0 * hl * hl) / 12.0
+        return m, np.diag([ixx, ixx, m * r * r / 2.0])
+    if t == S.CAPSULE:
+        r, hl = sz[0], sz[1]
+        vc = math.pi * r * r * 2.0 * hl
+        vs = 4.0 / 3.0 * math.pi * r ** 3
+        if g.mass is not None:
+            rho = g.mass / (vc + vs)
+        else:
+            rho = g.density
+        mc, ms = rho * vc, rho * vs
+        L = 2.0 * hl
+        izz = mc * r * r / 2.0 + ms * 2.0 * r * r / 5.0
+        ixx = mc * (L * L / 12.0 + r * r / 4.0) + ms * (2.0 * r * r / 5.0 + L * L / 4.0 + 3.0 * L * r / 8.0)
+        return mc + ms, np.diag([ixx, ixx, izz])
+    if t == S.ELLIPSOID:
+        a, b, c = sz
+        vol = 4.0 / 3.0 * math.pi * a * b * c
+        m = g.mass if g.mass is not None else g.density * vol
+        return m, np.diag([m / 5.0 * (b * b + c * c), m / 5.0 * (a * a + c * c), m / 5.0 * (a * a + b * b)])
+    # planes / meshes carry no computed inertia
+    return 0.0, np.zeros((3, 3))
+
+
+def _quat2mat_np(q):
+    w, x, y, z = q
+    return np.array(
+        [
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+        ]
+    )
+
+
+def _mat2quat_np(m):
+    tr = np.trace(m)
+    if tr > 0:
+        s = math.sqrt(tr + 1.0) * 2
+        return np.array([0.25 * s, (m[2, 1] - m[1, 2]) / s, (m[0, 2] - m[2, 0]) / s, (m[1, 0] - m[0, 1]) / s])
+    i = int(np.argmax(np.diag(m)))
+    j, k = (i + 1) % 3, (i + 2) % 3
+    s = math.sqrt(max(m[i, i] - m[j, j] - m[k, k] + 1.0, 1e-12)) * 2
+    q = np.zeros(4)
+    q[0] = (m[k, j] - m[j, k]) / s
+    q[1 + i] = 0.25 * s
+    q[1 + j] = (m[j, i] + m[i, j]) / s
+    q[1 + k] = (m[k, i] + m[i, k]) / s
+    if q[0] < 0:
+        q = -q
+    return q / np.linalg.norm(q)
+
+
+def _eig_principal(I):
+    """Eigendecompose a 3x3 inertia: principal moments sorted descending
+    (MuJoCo convention) with a right-handed eigenvector frame."""
+    w, v = np.linalg.eigh(I)
+    order = np.argsort(w)[::-1]
+    w = w[order]
+    v = v[:, order]
+    if np.linalg.det(v) < 0:
+        v[:, 2] *= -1
+    return w.copy(), v
+
+
+def _body_inertial(body: S.BodySpec, inertia_group_range=(0, 0)):
+    """Compute (mass, ipos, iquat, principal diag inertia) for a body.
+
+    Uses the explicit InertialSpec if present, else accumulates over the
+    body's primitive geoms (MuJoCo compiler behavior with
+    inertiagrouprange as in reference base.xml:3).
+    """
+    if body.inertial is not None:
+        it = body.inertial
+        if it.fullinertia is not None:
+            ixx, iyy, izz, ixy, ixz, iyz = it.fullinertia
+            I = np.array([[ixx, ixy, ixz], [ixy, iyy, iyz], [ixz, iyz, izz]])
+            w, v = _eig_principal(I)
+            q_principal = _mat2quat_np(_quat2mat_np(it.quat) @ v)
+            return it.mass, it.pos.copy(), q_principal, w
+        diag = it.diaginertia if it.diaginertia is not None else np.zeros(3)
+        return it.mass, it.pos.copy(), it.quat.copy(), diag.copy()
+
+    # accumulate from geoms
+    total_m = 0.0
+    com = np.zeros(3)
+    contributing = []
+    for g in body.geoms:
+        if not (inertia_group_range[0] <= g.group <= inertia_group_range[1]):
+            continue
+        m, I_g = _geom_mass_inertia(g)
+        if m <= 0:
+            continue
+        contributing.append((g, m, I_g))
+        total_m += m
+        com += m * g.pos
+    if total_m <= 0:
+        return 0.0, np.zeros(3), np.array([1.0, 0, 0, 0]), np.zeros(3)
+    com /= total_m
+    I_total = np.zeros((3, 3))
+    for g, m, I_g in contributing:
+        R = _quat2mat_np(g.quat)
+        I_rot = R @ I_g @ R.T
+        d = g.pos - com
+        I_total += I_rot + m * (np.dot(d, d) * np.eye(3) - np.outer(d, d))
+    w, v = _eig_principal(I_total)
+    return total_m, com, _mat2quat_np(v), w
+
+
+# ---------------------------------------------------------------------------
+# collision pair enumeration
+# ---------------------------------------------------------------------------
+
+# narrowphase support in round 1 (plane/sphere/capsule/box); meshes excluded
+_COLLIDABLE = {S.PLANE, S.SPHERE, S.CAPSULE, S.CYLINDER, S.BOX}
+
+
+def _enumerate_pairs(bodies, geoms, geom_bodyid, body_parentid, body_weldid, excludes, body_name_to_id):
+    """MuJoCo-style broadphase-free static pair list.
+
+    Filtering rules re-derived from MuJoCo's mj_collision:
+      * contype/conaffinity compatibility
+      * no same-body / same-weld pairs
+      * no parent-child weld pairs (filterparent), EXCEPT when parent is world
+      * explicit <exclude> pairs
+    """
+    excluded_body_pairs = set()
+    for ex in excludes:
+        b1 = body_name_to_id.get(ex.body1)
+        b2 = body_name_to_id.get(ex.body2)
+        if b1 is not None and b2 is not None:
+            excluded_body_pairs.add((min(b1, b2), max(b1, b2)))
+
+    # parent weld of each weld group: weld of the parent body of the weld root
+    nbody = len(body_parentid)
+    weld_parent = [0] * nbody
+    for b in range(1, nbody):
+        if body_weldid[b] == b:  # weld root
+            weld_parent[b] = body_weldid[body_parentid[b]]
+        else:
+            weld_parent[b] = weld_parent[body_weldid[b]]
+
+    pairs = []
+    ngeom = len(geoms)
+    for i in range(ngeom):
+        gi = geoms[i]
+        ti = S.GEOM_TYPES[gi.type]
+        if ti not in _COLLIDABLE:
+            continue
+        for j in range(i + 1, ngeom):
+            gj = geoms[j]
+            tj = S.GEOM_TYPES[gj.type]
+            if tj not in _COLLIDABLE:
+                continue
+            if ti == S.PLANE and tj == S.PLANE:
+                continue
+            if not ((gi.contype & gj.conaffinity) or (gj.contype & gi.conaffinity)):
+                continue
+            b1, b2 = geom_bodyid[i], geom_bodyid[j]
+            w1, w2 = body_weldid[b1], body_weldid[b2]
+            if w1 == w2:
+                continue
+            # filterparent (skip if welds are parent-child, unless parent is world weld 0)
+            if weld_parent[w1] == w2 and w2 != 0:
+                continue
+            if weld_parent[w2] == w1 and w1 != 0:
+                continue
+            if (min(b1, b2), max(b1, b2)) in excluded_body_pairs:
+                continue
+            pairs.append((i, j))
+    return pairs
+
+
+def _mix_pair_params(g1: S.GeomSpec, g2: S.GeomSpec):
+    """MuJoCo contact parameter mixing (solmix defaults -> average solref/imp,
+    elementwise max friction, max margin)."""
+    if g1.priority > g2.priority:
+        return g1.friction.copy(), g1.solref.copy(), g1.solimp.copy(), max(g1.margin, g2.margin)
+    if g2.priority > g1.priority:
+        return g2.friction.copy(), g2.solref.copy(), g2.solimp.copy(), max(g1.margin, g2.margin)
+    friction = np.maximum(g1.friction, g2.friction)
+    solref = 0.5 * (g1.solref + g2.solref)
+    solimp = 0.5 * (g1.solimp + g2.solimp)
+    return friction, solref, solimp, max(g1.margin, g2.margin)
+
+
+# ---------------------------------------------------------------------------
+# the compiler
+# ---------------------------------------------------------------------------
+
+
+def compile_spec(ms: S.ModelSpec, dtype=np.float32) -> Model:
+    bodies = ms.bodies()  # DFS order, world first — matches MuJoCo body ordering
+    nbody = len(bodies)
+    body_id = {b.name: i for i, b in enumerate(bodies)}
+    assert len(body_id) == nbody, "duplicate body names"
+    body_parentid = [0] * nbody
+    for i, b in enumerate(bodies):
+        for c in b.children:
+            body_parentid[bodies.index(c)] = i
+
+    # joints in body order
+    joints, jnt_bodyid = [], []
+    body_jntadr, body_jntnum = [], []
+    for i, b in enumerate(bodies):
+        body_jntadr.append(len(joints) if b.joints else -1)
+        body_jntnum.append(len(b.joints))
+        for j in b.joints:
+            joints.append(j)
+            jnt_bodyid.append(i)
+    njnt = len(joints)
+
+    jnt_qposadr, jnt_dofadr = [], []
+    nq = nv = 0
+    dof_bodyid, dof_jntid = [], []
+    for jid, j in enumerate(joints):
+        jnt_qposadr.append(nq)
+        jnt_dofadr.append(nv)
+        nq += j.nq
+        nv += j.nv
+        for _ in range(j.nv):
+            dof_bodyid.append(jnt_bodyid[jid])
+            dof_jntid.append(jid)
+
+    # weld groups: bodies with no joints are welded to their parent
+    body_weldid = [0] * nbody
+    for i in range(1, nbody):
+        body_weldid[i] = i if body_jntnum[i] > 0 else body_weldid[body_parentid[i]]
+
+    # geoms / sites / cameras in body order
+    geoms, geom_bodyid, sites, site_bodyid, cams, cam_bodyid = [], [], [], [], [], []
+    for i, b in enumerate(bodies):
+        for g in b.geoms:
+            geoms.append(g)
+            geom_bodyid.append(i)
+        for s in b.sites:
+            sites.append(s)
+            site_bodyid.append(i)
+        for c in b.cameras:
+            cams.append(c)
+            cam_bodyid.append(i)
+    ngeom, nsite, ncam = len(geoms), len(sites), len(cams)
+
+    # inertials
+    body_mass = np.zeros(nbody)
+    body_ipos = np.zeros((nbody, 3))
+    body_iquat = np.tile(np.array([1.0, 0, 0, 0]), (nbody, 1))
+    body_inertia = np.zeros((nbody, 3))
+    for i, b in enumerate(bodies):
+        if i == 0:
+            continue
+        m, ipos, iquat, diag = _body_inertial(b)
+        body_mass[i] = m
+        body_ipos[i] = ipos
+        body_iquat[i] = iquat
+        body_inertia[i] = diag
+
+    # qpos0 / spring reference
+    qpos0 = np.zeros(nq)
+    qpos_spring = np.zeros(nq)
+    jnt_stiffness = np.zeros(njnt)
+    for jid, j in enumerate(joints):
+        t = S.JOINT_TYPES[j.type]
+        adr = jnt_qposadr[jid]
+        if t == S.FREE:
+            b = bodies[jnt_bodyid[jid]]
+            qpos0[adr : adr + 3] = b.pos
+            qpos0[adr + 3 : adr + 7] = b.quat
+            qpos_spring[adr : adr + 7] = qpos0[adr : adr + 7]
+        elif t == S.BALL:
+            qpos0[adr] = 1.0
+            qpos_spring[adr] = 1.0
+        else:
+            qpos0[adr] = j.ref
+            qpos_spring[adr] = j.springref
+        jnt_stiffness[jid] = j.stiffness
+
+    # dofs
+    dof_damping = np.zeros(nv)
+    dof_armature = np.zeros(nv)
+    dof_frictionloss = np.zeros(nv)
+    for jid, j in enumerate(joints):
+        adr = jnt_dofadr[jid]
+        for k in range(j.nv):
+            dof_damping[adr + k] = j.damping
+            dof_armature[adr + k] = j.armature
+            dof_frictionloss[adr + k] = j.frictionloss
+
+    # actuators
+    jnt_id = {j.name: i for i, j in enumerate(joints)}
+    nu = len(ms.actuators)
+    actuator_kind, actuator_jntid = [], []
+    actuator_gear = np.ones(nu)
+    actuator_ctrlrange = np.zeros((nu, 2))
+    actuator_forcerange = np.zeros((nu, 2))
+    actuator_gainprm = np.zeros(nu)
+    actuator_ctrllimited = np.zeros(nu)
+    actuator_forcelimited = np.zeros(nu)
+    for a_i, a in enumerate(ms.actuators):
+        assert a.joint in jnt_id, f"actuator {a.name}: unknown joint {a.joint}"
+        actuator_kind.append(a.kind)
+        actuator_jntid.append(jnt_id[a.joint])
+        actuator_gear[a_i] = a.gear
+        if a.ctrlrange is not None:
+            actuator_ctrlrange[a_i] = a.ctrlrange
+            actuator_ctrllimited[a_i] = 1.0
+        if a.forcerange is not None:
+            actuator_forcerange[a_i] = a.forcerange
+            actuator_forcelimited[a_i] = 1.0
+        actuator_gainprm[a_i] = a.kp if a.kind == "position" else (a.kv if a.kind == "velocity" else 0.0)
+
+    # collision pairs
+    pairs = _enumerate_pairs(bodies, geoms, geom_bodyid, body_parentid, body_weldid, ms.excludes, body_id)
+    npair = len(pairs)
+    pair_friction = np.zeros((npair, 3))
+    pair_solref = np.zeros((npair, 2))
+    pair_solimp = np.zeros((npair, 5))
+    pair_margin = np.zeros(npair)
+    for p, (i, j) in enumerate(pairs):
+        fr, sr, si, mg = _mix_pair_params(geoms[i], geoms[j])
+        pair_friction[p] = fr
+        pair_solref[p] = sr
+        pair_solimp[p] = si
+        pair_margin[p] = mg
+
+    # ancestor mask: dof d moves body b iff d's joint body is an ancestor of b
+    ancestor_mask = np.zeros((nbody, nv))
+    for b in range(1, nbody):
+        anc = b
+        chain = set()
+        while anc != 0:
+            chain.add(anc)
+            anc = body_parentid[anc]
+        for d in range(nv):
+            if dof_bodyid[d] in chain:
+                ancestor_mask[b, d] = 1.0
+
+    jnp_ = lambda x: jnp.asarray(np.asarray(x), dtype=dtype)
+
+    def names_of(elems):
+        out = [e.name for e in elems]
+        assert len(set(out)) == len(out), f"duplicate names: {sorted(out)}"
+        return tuple(out)
+
+    return Model(
+        nq=nq, nv=nv, nu=nu, nbody=nbody, njnt=njnt, ngeom=ngeom, nsite=nsite, ncam=ncam, npair=npair,
+        body_parentid=tuple(body_parentid),
+        body_jntadr=tuple(body_jntadr),
+        body_jntnum=tuple(body_jntnum),
+        body_weldid=tuple(body_weldid),
+        jnt_type=tuple(S.JOINT_TYPES[j.type] for j in joints),
+        jnt_bodyid=tuple(jnt_bodyid),
+        jnt_qposadr=tuple(jnt_qposadr),
+        jnt_dofadr=tuple(jnt_dofadr),
+        dof_bodyid=tuple(dof_bodyid),
+        dof_jntid=tuple(dof_jntid),
+        geom_bodyid=tuple(geom_bodyid),
+        geom_type=tuple(S.GEOM_TYPES[g.type] for g in geoms),
+        site_bodyid=tuple(site_bodyid),
+        cam_bodyid=tuple(cam_bodyid),
+        actuator_kind=tuple(actuator_kind),
+        actuator_jntid=tuple(actuator_jntid),
+        pair_geom1=tuple(p[0] for p in pairs),
+        pair_geom2=tuple(p[1] for p in pairs),
+        body_names=names_of(bodies),
+        jnt_names=names_of(joints),
+        geom_names=names_of(geoms),
+        site_names=names_of(sites),
+        cam_names=names_of(cams),
+        actuator_names=tuple(a.name for a in ms.actuators),
+        timestep=float(ms.option.timestep),
+        impratio=float(ms.option.impratio),
+        body_pos=jnp_(np.stack([b.pos for b in bodies])),
+        body_quat=jnp_(np.stack([b.quat for b in bodies])),
+        body_ipos=jnp_(body_ipos),
+        body_iquat=jnp_(body_iquat),
+        body_mass=jnp_(body_mass),
+        body_inertia=jnp_(body_inertia),
+        jnt_pos=jnp_(np.stack([j.pos for j in joints]) if njnt else np.zeros((0, 3))),
+        jnt_axis=jnp_(np.stack([j.axis for j in joints]) if njnt else np.zeros((0, 3))),
+        jnt_range=jnp_(
+            np.stack([j.range if j.range is not None else np.zeros(2) for j in joints])
+            if njnt else np.zeros((0, 2))
+        ),
+        jnt_limited=jnp_([1.0 if j.limited else 0.0 for j in joints]),
+        jnt_stiffness=jnp_(jnt_stiffness),
+        dof_damping=jnp_(dof_damping),
+        dof_armature=jnp_(dof_armature),
+        dof_frictionloss=jnp_(dof_frictionloss),
+        geom_pos=jnp_(np.stack([g.pos for g in geoms]) if ngeom else np.zeros((0, 3))),
+        geom_quat=jnp_(np.stack([g.quat for g in geoms]) if ngeom else np.zeros((0, 4))),
+        geom_size=jnp_(np.stack([g.size for g in geoms]) if ngeom else np.zeros((0, 3))),
+        geom_friction=jnp_(np.stack([g.friction for g in geoms]) if ngeom else np.zeros((0, 3))),
+        geom_margin=jnp_([g.margin for g in geoms]),
+        site_pos=jnp_(np.stack([s.pos for s in sites]) if nsite else np.zeros((0, 3))),
+        site_quat=jnp_(np.stack([s.quat for s in sites]) if nsite else np.zeros((0, 4))),
+        cam_pos=jnp_(np.stack([c.pos for c in cams]) if ncam else np.zeros((0, 3))),
+        cam_quat=jnp_(np.stack([c.quat for c in cams]) if ncam else np.zeros((0, 4))),
+        cam_fovy=jnp_([c.fovy for c in cams]),
+        actuator_gear=jnp_(actuator_gear),
+        actuator_ctrlrange=jnp_(actuator_ctrlrange),
+        actuator_forcerange=jnp_(actuator_forcerange),
+        actuator_gainprm=jnp_(actuator_gainprm),
+        actuator_ctrllimited=jnp_(actuator_ctrllimited),
+        actuator_forcelimited=jnp_(actuator_forcelimited),
+        pair_friction=jnp_(pair_friction),
+        pair_solref=jnp_(pair_solref),
+        pair_solimp=jnp_(pair_solimp),
+        pair_margin=jnp_(pair_margin),
+        qpos0=jnp_(qpos0),
+        qpos_spring=jnp_(qpos_spring),
+        gravity=jnp_(ms.option.gravity),
+        ancestor_mask=jnp_(ancestor_mask),
+    )

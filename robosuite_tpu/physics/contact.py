@@ -1,0 +1,439 @@
+"""Contact: narrowphase + compliant constraint solver.
+
+Replaces MuJoCo's collision pipeline + constraint solver (the C engine's
+mj_collision/mj_solve as driven through reference binding_utils.py MjSim.step,
+with the physics options the reference bakes into every world:
+impratio=20, elliptic cone, solref/solimp per geom —
+models/assets/base.xml:4-5, gripper fingerpad solref "0.01 0.5").
+
+TPU-first design:
+  * The candidate pair list is STATIC (compiled per model); narrowphase runs
+    on every pair every step and produces a fixed-size contact buffer with
+    active masks — no dynamic shapes under jit.
+  * The solver operates on the dual: A = J M^-1 J^T + R with MuJoCo's
+    solref/solimp-derived reference acceleration, solved by a fixed number of
+    unrolled projected block-Gauss-Seidel sweeps with friction-cone
+    projection. Everything is small dense linear algebra that vmaps cleanly
+    over thousands of scenarios.
+
+Supported geom pairs (round 1): plane/sphere/capsule/box combinations used by
+the manipulation stack (boxes on table tops, fingerpads on objects, spheres,
+capsules). Mesh geoms do not collide (robot links use primitive-approximated
+collision shells defined in their model cards).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from robosuite_tpu.models import spec as S
+
+# max contact points contributed per candidate pair, by (type1, type2) with
+# type1 <= type2 (mujoco geom type codes)
+_PAIR_POINTS = {
+    (S.PLANE, S.SPHERE): 1,
+    (S.PLANE, S.CAPSULE): 2,
+    (S.PLANE, S.CYLINDER): 3,
+    (S.PLANE, S.BOX): 4,
+    (S.SPHERE, S.SPHERE): 1,
+    (S.SPHERE, S.CAPSULE): 1,
+    (S.SPHERE, S.CYLINDER): 1,
+    (S.SPHERE, S.BOX): 1,
+    (S.CAPSULE, S.CAPSULE): 1,
+    (S.CAPSULE, S.CYLINDER): 1,
+    (S.CAPSULE, S.BOX): 2,
+    (S.CYLINDER, S.CYLINDER): 1,
+    (S.CYLINDER, S.BOX): 2,
+    (S.BOX, S.BOX): 8,
+}
+
+
+def pair_max_points(t1: int, t2: int) -> int:
+    key = (min(t1, t2), max(t1, t2))
+    return _PAIR_POINTS.get(key, 1)
+
+
+# ---------------------------------------------------------------------------
+# primitive narrowphase — each returns (dist (n,), pos (n,3), normal (n,3))
+# normal points from geom1 into geom2; dist < 0 means penetrating.
+# inactive slots get dist = +big.
+# ---------------------------------------------------------------------------
+
+_BIG = 1e4
+
+
+def _plane_sphere(p1, R1, s1, p2, R2, s2):
+    n = R1[:, 2]
+    d = jnp.dot(p2 - p1, n) - s2[0]
+    pos = p2 - n * (s2[0] + 0.5 * d)
+    return d[None], pos[None], n[None]
+
+
+def _plane_capsule(p1, R1, s1, p2, R2, s2):
+    n = R1[:, 2]
+    axis = R2[:, 2]
+    ends = jnp.stack([p2 + axis * s2[1], p2 - axis * s2[1]])
+    d = (ends - p1) @ n - s2[0]
+    pos = ends - n[None, :] * (s2[0] + 0.5 * d[:, None])
+    nrm = jnp.broadcast_to(n, (2, 3))
+    return d, pos, nrm
+
+
+def _plane_cylinder(p1, R1, s1, p2, R2, s2):
+    n = R1[:, 2]
+    axis = R2[:, 2]
+    # rim direction: steepest descent of the cap edge onto the plane
+    proj = n - axis * jnp.dot(axis, n)
+    pn = jnp.linalg.norm(proj)
+    rim = jnp.where(pn > 1e-8, -proj / jnp.maximum(pn, 1e-8), R2[:, 0])
+    pts = jnp.stack(
+        [
+            p2 + axis * s2[1] + rim * s2[0],
+            p2 - axis * s2[1] + rim * s2[0],
+            p2 + axis * s2[1] - rim * s2[0] * 0.0,  # center of near cap (stability)
+        ]
+    )
+    d = (pts - p1) @ n
+    pos = pts - n[None, :] * 0.5 * d[:, None]
+    nrm = jnp.broadcast_to(n, (3, 3))
+    return d, pos, nrm
+
+
+def _plane_box(p1, R1, s1, p2, R2, s2):
+    n = R1[:, 2]
+    corners = jnp.array(
+        [[sx, sy, sz] for sx in (-1.0, 1.0) for sy in (-1.0, 1.0) for sz in (-1.0, 1.0)],
+    )
+    pts = p2[None, :] + (corners * s2[None, :]) @ R2.T  # (8, 3)
+    d = (pts - p1[None, :]) @ n  # (8,)
+    # keep the 4 deepest corners (static top-4 via sort)
+    idx = jnp.argsort(d)[:4]
+    d4 = d[idx]
+    pos = pts[idx] - n[None, :] * 0.5 * d4[:, None]
+    nrm = jnp.broadcast_to(n, (4, 3))
+    return d4, pos, nrm
+
+
+def _sphere_sphere(p1, R1, s1, p2, R2, s2):
+    dp = p2 - p1
+    dist = jnp.linalg.norm(dp)
+    n = dp / jnp.maximum(dist, 1e-9)
+    d = dist - s1[0] - s2[0]
+    pos = p1 + n * (s1[0] + 0.5 * d)
+    return d[None], pos[None], n[None]
+
+
+def _seg_closest(p, a_mid, a_axis, a_half):
+    """Closest point on segment (a_mid, +-a_half along a_axis) to point p."""
+    t = jnp.clip(jnp.dot(p - a_mid, a_axis), -a_half, a_half)
+    return a_mid + t * a_axis
+
+
+def _sphere_capsule(p1, R1, s1, p2, R2, s2):
+    c = _seg_closest(p1, p2, R2[:, 2], s2[1])
+    dp = c - p1
+    dist = jnp.linalg.norm(dp)
+    n = dp / jnp.maximum(dist, 1e-9)
+    d = dist - s1[0] - s2[0]
+    pos = p1 + n * (s1[0] + 0.5 * d)
+    return d[None], pos[None], n[None]
+
+
+def _capsule_capsule(p1, R1, s1, p2, R2, s2):
+    # closest points between two segments (stable closed form)
+    a0 = p1 - R1[:, 2] * s1[1]
+    a1 = p1 + R1[:, 2] * s1[1]
+    b0 = p2 - R2[:, 2] * s2[1]
+    b1 = p2 + R2[:, 2] * s2[1]
+    da = a1 - a0
+    db = b1 - b0
+    r = a0 - b0
+    A = jnp.dot(da, da) + 1e-12
+    B = jnp.dot(da, db)
+    C = jnp.dot(db, db) + 1e-12
+    D = jnp.dot(da, r)
+    E = jnp.dot(db, r)
+    den = A * C - B * B
+    s = jnp.clip(jnp.where(den > 1e-12, (B * E - C * D) / jnp.maximum(den, 1e-12), 0.0), 0.0, 1.0)
+    t = jnp.clip((B * s + E) / C, 0.0, 1.0)
+    s = jnp.clip((B * t - D) / A, 0.0, 1.0)
+    pa = a0 + da * s
+    pb = b0 + db * t
+    dp = pb - pa
+    dist = jnp.linalg.norm(dp)
+    n = dp / jnp.maximum(dist, 1e-9)
+    d = dist - s1[0] - s2[0]
+    pos = pa + n * (s1[0] + 0.5 * d)
+    return d[None], pos[None], n[None]
+
+
+def _point_box_dist(p_local, half):
+    """Signed distance + outward normal (local frame) from box surface to a point."""
+    q = jnp.abs(p_local) - half
+    outside = jnp.maximum(q, 0.0)
+    d_out = jnp.linalg.norm(outside)
+    d_in = jnp.max(q)  # negative inside
+    inside = d_out < 1e-9
+    d = jnp.where(inside, d_in, d_out)
+    # normal: outside -> gradient of distance; inside -> axis of max q
+    n_out = jnp.sign(p_local) * outside / jnp.maximum(d_out, 1e-9)
+    ax = jnp.argmax(q)
+    n_in = jnp.sign(p_local) * (jnp.arange(3) == ax)
+    n = jnp.where(inside, n_in, n_out)
+    return d, n
+
+
+def _sphere_box(p1, R1, s1, p2, R2, s2):
+    pl = R2.T @ (p1 - p2)
+    d_surf, n_l = _point_box_dist(pl, s2)
+    n_w = -(R2 @ n_l)  # from sphere into box
+    d = d_surf - s1[0]
+    pos = p1 + n_w * (s1[0] + 0.5 * d)
+    return d[None], pos[None], n_w[None]
+
+
+def _capsule_box(p1, R1, s1, p2, R2, s2):
+    out_d, out_p, out_n = [], [], []
+    for sign in (-1.0, 1.0):
+        e = p1 + R1[:, 2] * (sign * s1[1])
+        # closest point of segment endpoint region: clamp endpoint to box for a
+        # two-point approximation of the capsule-box manifold
+        pl = R2.T @ (e - p2)
+        d_surf, n_l = _point_box_dist(pl, s2)
+        n_w = -(R2 @ n_l)
+        d = d_surf - s1[0]
+        out_d.append(d)
+        out_p.append(e + n_w * (s1[0] + 0.5 * d))
+        out_n.append(n_w)
+    return jnp.stack(out_d), jnp.stack(out_p), jnp.stack(out_n)
+
+
+def _box_box(p1, R1, s1, p2, R2, s2):
+    """Vertex-in-box two-way test: 8 corners of box1 against box2 (and the
+    4 deepest of box2's corners against box1). Approximate but adequate for
+    resting/stacking/grasping manifolds; exact SAT clipping is a later round."""
+    corners = jnp.array(
+        [[sx, sy, sz] for sx in (-1.0, 1.0) for sy in (-1.0, 1.0) for sz in (-1.0, 1.0)]
+    )
+    # corners of box1 vs box2
+    pts1 = p1[None, :] + (corners * s1[None, :]) @ R1.T
+    pl = (pts1 - p2[None, :]) @ R2  # local in box2
+    d1, n1 = jax.vmap(_point_box_dist, in_axes=(0, None))(pl, s2)
+    nw1 = -jnp.einsum("ij,nj->ni", R2, n1)  # from box1 into box2... (into box2 surface)
+    pos1 = pts1 + nw1 * 0.5 * d1[:, None]
+    # corners of box2 vs box1 (normal flips: from box1 toward box2)
+    pts2 = p2[None, :] + (corners * s2[None, :]) @ R2.T
+    pl2 = (pts2 - p1[None, :]) @ R1
+    d2, n2 = jax.vmap(_point_box_dist, in_axes=(0, None))(pl2, s1)
+    nw2 = jnp.einsum("ij,nj->ni", R1, n2)
+    pos2 = pts2 + (-nw2) * 0.5 * d2[:, None]
+    idx2 = jnp.argsort(d2)[:4]
+    d = jnp.concatenate([d1[jnp.argsort(d1)[:4]], d2[idx2]])
+    pos = jnp.concatenate([pos1[jnp.argsort(d1)[:4]], pos2[idx2]])
+    nrm = jnp.concatenate([nw1[jnp.argsort(d1)[:4]], nw2[idx2]])
+    return d, pos, nrm
+
+
+_DISPATCH = {
+    (S.PLANE, S.SPHERE): _plane_sphere,
+    (S.PLANE, S.CAPSULE): _plane_capsule,
+    (S.PLANE, S.CYLINDER): _plane_cylinder,
+    (S.PLANE, S.BOX): _plane_box,
+    (S.SPHERE, S.SPHERE): _sphere_sphere,
+    (S.SPHERE, S.CAPSULE): _sphere_capsule,
+    (S.SPHERE, S.BOX): _sphere_box,
+    (S.CAPSULE, S.CAPSULE): _capsule_capsule,
+    (S.CAPSULE, S.BOX): _capsule_box,
+    (S.BOX, S.BOX): _box_box,
+    # cylinders approximated as capsules for non-plane pairs
+    (S.SPHERE, S.CYLINDER): _sphere_capsule,
+    (S.CAPSULE, S.CYLINDER): _capsule_capsule,
+    (S.CYLINDER, S.CYLINDER): _capsule_capsule,
+    (S.CYLINDER, S.BOX): _capsule_box,
+}
+
+
+def narrowphase(model, kin):
+    """Run all candidate pairs; return fixed-size contact buffer.
+
+    Returns dict with (ncon_max,) / (ncon_max,3)-shaped arrays:
+      dist, pos, frame (3x3, rows normal/t1/t2), friction (3,), solref, solimp,
+      geom1/geom2 body ids (static lists), include mask from dist threshold.
+    """
+    dists, poss, nrms = [], [], []
+    con_body1, con_body2, con_pair = [], [], []
+    for k in range(model.npair):
+        g1, g2 = model.pair_geom1[k], model.pair_geom2[k]
+        t1, t2 = model.geom_type[g1], model.geom_type[g2]
+        flip = t1 > t2
+        if flip:
+            g1, g2 = g2, g1
+            t1, t2 = t2, t1
+        fn = _DISPATCH[(t1, t2)]
+        d, p, n = fn(
+            kin.geom_xpos[g1], kin.geom_xmat[g1], model.geom_size[g1],
+            kin.geom_xpos[g2], kin.geom_xmat[g2], model.geom_size[g2],
+        )
+        if flip:
+            n = -n  # keep normal pointing from pair_geom1 -> pair_geom2
+        npts = d.shape[0]
+        dists.append(d)
+        poss.append(p)
+        nrms.append(n)
+        b1 = model.geom_bodyid[model.pair_geom1[k]]
+        b2 = model.geom_bodyid[model.pair_geom2[k]]
+        con_body1 += [b1] * npts
+        con_body2 += [b2] * npts
+        con_pair += [k] * npts
+
+    if not dists:
+        return None
+
+    dist = jnp.concatenate(dists)
+    pos = jnp.concatenate(poss)
+    normal = jnp.concatenate(nrms)
+    pair_idx = jnp.asarray(con_pair, dtype=jnp.int32)
+
+    # tangent frame via stable orthonormalization
+    n = normal / jnp.maximum(jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-9)
+    ref = jnp.where(jnp.abs(n[:, 0:1]) < 0.5, jnp.array([[1.0, 0, 0]]), jnp.array([[0.0, 1, 0]]))
+    t1v = jnp.cross(n, ref)
+    t1v = t1v / jnp.maximum(jnp.linalg.norm(t1v, axis=-1, keepdims=True), 1e-9)
+    t2v = jnp.cross(n, t1v)
+
+    return dict(
+        dist=dist,
+        pos=pos,
+        normal=n,
+        t1=t1v,
+        t2=t2v,
+        friction=model.pair_friction[pair_idx],
+        solref=model.pair_solref[pair_idx],
+        solimp=model.pair_solimp[pair_idx],
+        margin=model.pair_margin[pair_idx],
+        body1=tuple(con_body1),
+        body2=tuple(con_body2),
+    )
+
+
+# ---------------------------------------------------------------------------
+# constraint solver (dual PGS with friction cone)
+# ---------------------------------------------------------------------------
+
+
+def _impedance(solimp, x):
+    """MuJoCo constraint impedance d(x) from solimp = (d0, dmax, width,
+    midpoint, power); x is constraint violation distance (>= 0)."""
+    d0, dmax, width, mid, pw = (solimp[..., i] for i in range(5))
+    xw = jnp.clip(x / jnp.maximum(width, 1e-9), 0.0, 1.0)
+    # mujoco sigmoid: two-sided power curve around midpoint
+    a = 1.0 / jnp.maximum(mid, 1e-9) ** (pw - 1.0)
+    b = 1.0 / jnp.maximum(1.0 - mid, 1e-9) ** (pw - 1.0)
+    y_lo = a * xw ** pw
+    y_hi = 1.0 - b * (1.0 - xw) ** pw
+    y = jnp.where(xw < mid, y_lo, y_hi)
+    return d0 + y * (dmax - d0)
+
+
+def contact_forces(model, kin, con, M, qvel, qacc_smooth, dt):
+    """Solve for contact forces; return qfrc_contact (nv,).
+
+    Implements the MuJoCo-style soft-constraint dual problem:
+      A = J M^-1 J^T,  R = diag((1-d)/d * A_ii / impratio-scaling)
+      aref = -b * (J qvel) - k * dist          (per solref/solimp)
+      solve (A + R) f = aref - a0,  f in friction cone (projected block GS)
+    """
+    if con is None:
+        return jnp.zeros(model.nv, dtype=qvel.dtype)
+
+    nc = con["dist"].shape[0]
+    nv = model.nv
+
+    # contact jacobians: rows (normal, t1, t2), J (nc, 3, nv)
+    def cjac(i):
+        b1, b2 = con["body1"][i], con["body2"][i]
+        p = con["pos"][i]
+        mask2 = model.ancestor_mask[b2]
+        mask1 = model.ancestor_mask[b1]
+        jac_lin = kin.sdof_lin + jnp.cross(kin.sdof_ang, p[None, :])  # (nv,3)
+        Jp = (mask2 - mask1)[:, None] * jac_lin  # relative velocity b2 - b1
+        frame = jnp.stack([con["normal"][i], con["t1"][i], con["t2"][i]])  # (3,3)
+        return frame @ Jp.T  # (3, nv)
+
+    J = jnp.stack([cjac(i) for i in range(nc)])  # (nc, 3, nv)
+
+    # active contacts (include margin)
+    pen = -(con["dist"] - con["margin"])  # > 0 when violating
+    active = pen > 0.0
+
+    # A = J M^-1 J^T (3nc x 3nc), via Cholesky solve
+    Jf = J.reshape(nc * 3, nv)
+    L = jax.scipy.linalg.cho_factor(M)
+    MinvJT = jax.scipy.linalg.cho_solve(L, Jf.T)  # (nv, 3nc)
+    A = Jf @ MinvJT  # (3nc, 3nc)
+
+    # impedance + solref dynamics
+    d = _impedance(con["solimp"], pen)  # (nc,)
+    d = jnp.clip(d, 1e-4, 1.0 - 1e-4)
+    timeconst = jnp.maximum(con["solref"][:, 0], 2.0 * dt)
+    dampratio = con["solref"][:, 1]
+    dmax = jnp.clip(con["solimp"][:, 1], 1e-4, 1.0 - 1e-4)
+    k = d / (dmax * dmax * timeconst * timeconst * dampratio * dampratio)
+    b = 2.0 / (dmax * timeconst)
+
+    vel = (J @ qvel).reshape(nc, 3)  # contact-frame velocity
+    # aref = -b * rdot - k * r with r = signed distance (= -pen when violating)
+    aref_n = -b * vel[:, 0] + k * pen
+    aref = jnp.stack([aref_n, jnp.zeros_like(aref_n), jnp.zeros_like(aref_n)], axis=-1)
+
+    # unconstrained contact-frame acceleration (excluding Jdot qdot, which is
+    # second-order at dt=2ms and absorbed by the damping term)
+    a0 = (Jf @ qacc_smooth).reshape(nc, 3)
+
+    # regularizer: R_i = (1-d)/d * diag(A); friction rows scaled by impratio
+    diagA = jnp.diagonal(A).reshape(nc, 3)
+    mean_diag = jnp.mean(diagA[:, 0])
+    reg_base = (1.0 - d) / d
+    R = jnp.stack(
+        [
+            reg_base * jnp.maximum(diagA[:, 0], 1e-8),
+            reg_base * jnp.maximum(diagA[:, 1], 1e-8) / model.impratio,
+            reg_base * jnp.maximum(diagA[:, 2], 1e-8) / model.impratio,
+        ],
+        axis=-1,
+    )
+
+    rhs = (aref - a0).reshape(nc * 3)
+    Areg = A + jnp.diag(R.reshape(-1))
+
+    mu = con["friction"][:, 0]
+
+    # projected block Gauss-Seidel, fixed sweeps, unrolled
+    inv_blocks = jnp.stack(
+        [jnp.linalg.inv(Areg[3 * i : 3 * i + 3, 3 * i : 3 * i + 3]) for i in range(nc)]
+    )
+
+    def project(fi, mu_i):
+        fn = jnp.maximum(fi[0], 0.0)
+        ft = fi[1:]
+        tnorm = jnp.linalg.norm(ft)
+        scale = jnp.minimum(1.0, mu_i * fn / jnp.maximum(tnorm, 1e-9))
+        return jnp.concatenate([fn[None], ft * scale])
+
+    f = jnp.zeros(nc * 3, dtype=qvel.dtype)
+    n_sweeps = 10
+    for _ in range(n_sweeps):
+        for i in range(nc):
+            sl = slice(3 * i, 3 * i + 3)
+            resid = rhs[sl] - Areg[sl, :] @ f + Areg[sl, sl] @ f[sl]
+            fi = inv_blocks[i] @ resid
+            fi = project(fi, mu[i])
+            fi = jnp.where(active[i], fi, 0.0)
+            f = f.at[sl].set(fi)
+
+    qfrc = Jf.T @ f
+    return qfrc

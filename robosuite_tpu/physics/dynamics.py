@@ -1,0 +1,184 @@
+"""Inverse/forward dynamics building blocks: CRBA mass matrix, RNEA bias.
+
+Replaces MuJoCo's mj_crb / mj_rne as consumed by the reference controller
+stack (mj_fullM at controllers/parts/controller.py:226-229, qfrc_bias at
+:303-311). World-frame, origin-referenced spatial algebra; the heavy
+reductions are (nv,3)/(nbody,nv) matmuls so XLA tiles them onto the MXU when
+vmapped over scenarios.
+
+Composite spatial inertia is carried as the additive triple (m, h = m*c,
+I_O = inertia about world origin), so subtree accumulation is a plain masked
+matmul instead of a 6x6 matrix chain.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def _body_ancestor_matrix(model):
+    """anc[i, j] = 1 if body i is ancestor-of-or-equal-to body j (static)."""
+    nb = model.nbody
+    anc = np.zeros((nb, nb), dtype=np.float32)
+    for j in range(nb):
+        k = j
+        while True:
+            anc[k, j] = 1.0
+            if k == 0:
+                break
+            k = model.body_parentid[k]
+    return anc
+
+
+def spatial_inertia(model, kin):
+    """Per-body (m, h, I_O) in world frame about world origin.
+
+    I_O = R I_diag R^T + m (|c|^2 E - c c^T), h = m c.
+    """
+    m = model.body_mass  # (nbody,)
+    c = kin.xipos  # (nbody, 3)
+    R = kin.ximat  # (nbody, 3, 3)
+    I_C = jnp.einsum("bij,bj,bkj->bik", R, model.body_inertia, R)
+    cc = jnp.einsum("bi,bj->bij", c, c)
+    c2 = jnp.sum(c * c, axis=-1)
+    eye = jnp.eye(3, dtype=c.dtype)
+    I_O = I_C + m[:, None, None] * (c2[:, None, None] * eye - cc)
+    h = m[:, None] * c
+    return m, h, I_O
+
+
+def _imul(m, h, I_O, x_ang, x_lin):
+    """Apply spatial inertia (m,h,I_O) to a motion vector (x_ang, x_lin).
+
+    Returns (momentum_ang_about_origin, momentum_lin):
+      lin = m x_lin + x_ang x h? (note: omega x (m c) = -(m c) x omega)
+      ang = I_O x_ang + h x x_lin
+    """
+    lin = m[..., None] * x_lin + jnp.cross(x_ang, h)
+    ang = jnp.einsum("...ij,...j->...i", I_O, x_ang) + jnp.cross(h, x_lin)
+    return ang, lin
+
+
+def crba(model, kin):
+    """Composite-rigid-body mass matrix, (nv, nv), dense.
+
+    Matches mj_fullM output ordering (world dof ordering) including armature.
+    """
+    m, h, I_O = spatial_inertia(model, kin)
+    anc_b = jnp.asarray(_body_ancestor_matrix(model))
+
+    # composite subtree inertia for each body: sum over its subtree
+    # subtree(i) = {j : anc_b[i, j] = 1}
+    mc = anc_b @ m
+    hc = anc_b @ h
+    Ic = jnp.einsum("ij,jkl->ikl", anc_b, I_O)
+
+    dof_body = jnp.asarray(model.dof_bodyid, dtype=jnp.int32)
+    F_ang, F_lin = _imul(mc[dof_body], hc[dof_body], Ic[dof_body], kin.sdof_ang, kin.sdof_lin)
+
+    # A[e, d] = S_e . F_d — one (nv,3)x(3,nv) pair of matmuls
+    A = kin.sdof_ang @ F_ang.T + kin.sdof_lin @ F_lin.T
+
+    # M[e, d] = A[e, d] where dof e moves body(d); symmetric completion
+    AM = model.ancestor_mask[dof_body, :].T  # (nv_e, nv_d): e ancestor-dof of body(d)
+    M = jnp.where(AM > 0, A, jnp.where(AM.T > 0, A.T, 0.0))
+    M = M + jnp.diag(model.dof_armature)
+    return M
+
+
+def rnea_bias(model, kin, qvel):
+    """qfrc_bias = C(q, qvel) qvel + G(q): inverse dynamics with qacc = 0.
+
+    Matches mjData.qfrc_bias (used as the reference's gravity compensation,
+    controllers/parts/controller.py:303-311).
+    """
+    m, h, I_O = spatial_inertia(model, kin)
+    anc_b = jnp.asarray(_body_ancestor_matrix(model))
+
+    # body spatial velocities (origin-referenced)
+    sq_ang = kin.sdof_ang * qvel[:, None]
+    sq_lin = kin.sdof_lin * qvel[:, None]
+    v_ang = model.ancestor_mask @ sq_ang  # (nbody, 3)
+    v_lin = model.ancestor_mask @ sq_lin
+
+    # sdof rate of change: crossMotion(v_body(d), S_d); own-dof terms vanish.
+    # Free-joint translation dofs have world-fixed axes -> Sdot = 0.
+    dof_body = jnp.asarray(model.dof_bodyid, dtype=jnp.int32)
+    vb_ang, vb_lin = v_ang[dof_body], v_lin[dof_body]
+    sdot_ang = jnp.cross(vb_ang, kin.sdof_ang)
+    sdot_lin = jnp.cross(vb_ang, kin.sdof_lin) + jnp.cross(vb_lin, kin.sdof_ang)
+    fixed_axis = np.ones(model.nv, dtype=np.float32)
+    for j in range(model.njnt):
+        from robosuite_tpu.models import spec as S
+
+        if model.jnt_type[j] == S.FREE:
+            fixed_axis[model.jnt_dofadr[j] : model.jnt_dofadr[j] + 3] = 0.0
+    fa = jnp.asarray(fixed_axis)[:, None]
+    sdot_ang = sdot_ang * fa
+    sdot_lin = sdot_lin * fa
+
+    # body spatial accelerations with qacc = 0: a = anc @ (Sdot * qvel) + a0
+    a_ang = model.ancestor_mask @ (sdot_ang * qvel[:, None])
+    a_lin = model.ancestor_mask @ (sdot_lin * qvel[:, None]) - model.gravity[None, :]
+
+    # per-body force: f = I a + v x* (I v)
+    Ia_ang, Ia_lin = _imul(m, h, I_O, a_ang, a_lin)
+    Iv_ang, Iv_lin = _imul(m, h, I_O, v_ang, v_lin)
+    # force cross product: v x* f = (w x f_ang + v x f_lin, w x f_lin)
+    f_ang = Ia_ang + jnp.cross(v_ang, Iv_ang) + jnp.cross(v_lin, Iv_lin)
+    f_lin = Ia_lin + jnp.cross(v_ang, Iv_lin)
+
+    # backward pass: subtree force sums then project onto sdof
+    ft_ang = anc_b @ f_ang
+    ft_lin = anc_b @ f_lin
+    qfrc = jnp.sum(kin.sdof_ang * ft_ang[dof_body], axis=-1) + jnp.sum(
+        kin.sdof_lin * ft_lin[dof_body], axis=-1
+    )
+    return qfrc
+
+
+def passive_forces(model, qpos, qvel):
+    """Joint springs + (explicit part of) damping.
+
+    Damping is integrated implicitly in the engine (MuJoCo Euler-damp
+    behavior); springs follow qfrc_spring = -stiffness * (qpos - springref).
+    Returns spring force only; damping handled by the integrator.
+    """
+    qfrc = jnp.zeros_like(qvel)
+    for j in range(model.njnt):
+        from robosuite_tpu.models import spec as S
+
+        if model.jnt_type[j] in (S.HINGE, S.SLIDE):
+            qadr, dadr = model.jnt_qposadr[j], model.jnt_dofadr[j]
+            qfrc = qfrc.at[dadr].add(
+                -model.jnt_stiffness[j] * (qpos[qadr] - model.qpos_spring[qadr])
+            )
+    return qfrc
+
+
+def joint_limit_forces(model, qpos, qvel, solref=(0.02, 1.0)):
+    """Compliant joint-limit forces (penalty analog of MuJoCo's limit
+    constraints). Active only outside jnt_range for limited hinge/slide."""
+    from robosuite_tpu.models import spec as S
+
+    qfrc = jnp.zeros_like(qvel)
+    timeconst, dampratio = solref
+    for j in range(model.njnt):
+        if model.jnt_type[j] not in (S.HINGE, S.SLIDE):
+            continue
+        qadr, dadr = model.jnt_qposadr[j], model.jnt_dofadr[j]
+        q = qpos[qadr]
+        lo, hi = model.jnt_range[j, 0], model.jnt_range[j, 1]
+        # penetration depth beyond limits (positive when violated)
+        d_lo = lo - q
+        d_hi = q - hi
+        # critically-damped spring in the violated direction
+        k = 1.0 / (timeconst * timeconst * dampratio * dampratio)
+        b = 2.0 / timeconst
+        f = (
+            jnp.where(d_lo > 0, k * d_lo - b * qvel[dadr], 0.0)
+            + jnp.where(d_hi > 0, -k * d_hi - b * qvel[dadr], 0.0)
+        )
+        qfrc = qfrc.at[dadr].add(model.jnt_limited[j] * f)
+    return qfrc
