@@ -1,0 +1,228 @@
+"""Gripper models (reference models/grippers/*.py + gripper_factory.py).
+
+Each gripper wraps its model card with the reference's metadata: dof,
+speed, init_qpos, important sites (grip_site for the OSC reference frame)
+and fingerpad geoms (grasp checks). format_action's open/close ramp state
+(reference panda_gripper.py:42-55) lives in the robot layer's explicit
+gripper state, not here.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+import numpy as np
+
+from robosuite_tpu.models import spec as S
+from robosuite_tpu.models.cards import load_card, spec_from_card
+
+REGISTERED_GRIPPERS: Dict[str, type] = {}
+
+
+def register_gripper(cls):
+    REGISTERED_GRIPPERS[cls.__name__] = cls
+    return cls
+
+
+def gripper_factory(name: str, idn=0, arm="right"):
+    """reference gripper_factory.py."""
+    if name is None:
+        name = "NullGripper"
+    assert name in REGISTERED_GRIPPERS, f"unknown gripper {name}; known: {sorted(REGISTERED_GRIPPERS)}"
+    return REGISTERED_GRIPPERS[name](idn=idn, arm=arm)
+
+
+class GripperModel:
+    card_name: str = None
+    dof: int = 1
+    speed: float = 0.2
+
+    def __init__(self, idn=0, arm="right"):
+        self.idn = idn
+        self.arm = arm
+        self._root = None
+        self._actuators: List[S.ActuatorSpec] = []
+        if self.card_name is not None:
+            ms = spec_from_card(self.card_name)
+            assert len(ms.worldbody.children) == 1
+            self._root = ms.worldbody.children[0]
+            self._root.apply_prefix(self.naming_prefix)
+            self._actuators = [
+                S.ActuatorSpec(
+                    name=self.naming_prefix + a.name, joint=self.naming_prefix + a.joint, kind=a.kind,
+                    gear=a.gear, ctrlrange=a.ctrlrange, forcerange=a.forcerange, kp=a.kp, kv=a.kv,
+                )
+                for a in ms.actuators
+            ]
+
+    @property
+    def naming_prefix(self):
+        return f"gripper{self.idn}_{self.arm}_"
+
+    @property
+    def init_qpos(self):
+        return np.zeros(0)
+
+    @property
+    def _important_sites(self):
+        return {"grip_site": "grip_site", "grip_cylinder": "grip_site_cylinder", "ee": "ft_frame",
+                "ee_x": "ee_x", "ee_y": "ee_y", "ee_z": "ee_z"}
+
+    @property
+    def important_sites(self):
+        return {k: self.naming_prefix + v for k, v in self._important_sites.items()}
+
+    @property
+    def _important_geoms(self) -> Dict[str, List[str]]:
+        return {}
+
+    @property
+    def important_geoms(self):
+        return {k: [self.naming_prefix + g for g in v] for k, v in self._important_geoms.items()}
+
+    @property
+    def joint_names(self) -> List[str]:
+        out = []
+        if self._root is not None:
+            for b in self._root.walk():
+                out.extend(j.name for j in b.joints)
+        return out
+
+    @property
+    def actuator_names(self) -> List[str]:
+        return [a.name for a in self._actuators]
+
+    def root_subtree(self):
+        return self._root
+
+    def actuators(self):
+        return list(self._actuators)
+
+    def format_action_direction(self):
+        """Per-actuator sign applied to the ramped open/close command
+        (reference format_action's np.array([-1, 1]) pattern)."""
+        return np.ones(len(self._actuators))
+
+
+@register_gripper
+class PandaGripper(GripperModel):
+    """reference panda_gripper.py: dof=1, speed=0.2, ramped binary action."""
+
+    card_name = "panda_gripper"
+    dof = 1
+    speed = 0.2
+
+    @property
+    def init_qpos(self):
+        return np.array([0.020833, -0.020833])
+
+    @property
+    def _important_geoms(self):
+        return {
+            "left_finger": ["finger1_collision", "finger1_pad_collision"],
+            "right_finger": ["finger2_collision", "finger2_pad_collision"],
+            "left_fingerpad": ["finger1_pad_collision"],
+            "right_fingerpad": ["finger2_pad_collision"],
+        }
+
+    def format_action_direction(self):
+        return np.array([-1.0, 1.0])
+
+
+@register_gripper
+class RethinkGripper(GripperModel):
+    """reference rethink_gripper.py."""
+
+    card_name = "rethink_gripper"
+    dof = 1
+    speed = 0.2
+
+    @property
+    def init_qpos(self):
+        return np.array([0.020833, -0.020833])
+
+    @property
+    def _important_geoms(self):
+        return {
+            "left_finger": ["l_finger_g0", "l_finger_g1", "l_fingertip_g0", "l_fingerpad_g0"],
+            "right_finger": ["r_finger_g0", "r_finger_g1", "r_fingertip_g0", "r_fingerpad_g0"],
+            "left_fingerpad": ["l_fingerpad_g0"],
+            "right_fingerpad": ["r_fingerpad_g0"],
+        }
+
+    def format_action_direction(self):
+        return np.array([1.0, -1.0])
+
+
+@register_gripper
+class Robotiq85Gripper(GripperModel):
+    """reference robotiq_85_gripper.py."""
+
+    card_name = "robotiq_gripper_85"
+    dof = 1
+    speed = 0.01
+
+    @property
+    def init_qpos(self):
+        return np.array([-0.026, -0.267, -0.200, -0.026, -0.267, -0.200])
+
+    @property
+    def _important_geoms(self):
+        return {
+            "left_finger": ["left_outer_finger_collision", "left_inner_finger_collision", "left_fingertip_collision", "left_fingerpad_collision"],
+            "right_finger": ["right_outer_finger_collision", "right_inner_finger_collision", "right_fingertip_collision", "right_fingerpad_collision"],
+            "left_fingerpad": ["left_fingerpad_collision"],
+            "right_fingerpad": ["right_fingerpad_collision"],
+        }
+
+
+@register_gripper
+class Robotiq140Gripper(GripperModel):
+    """reference robotiq_140_gripper.py."""
+
+    card_name = "robotiq_gripper_140"
+    dof = 1
+    speed = 0.2
+
+    @property
+    def init_qpos(self):
+        return np.array([0.012, 0.065, 0.065, -0.012, 0.065, 0.065])
+
+
+@register_gripper
+class JacoThreeFingerGripper(GripperModel):
+    """reference jaco_three_finger_gripper.py."""
+
+    card_name = "jaco_three_finger_gripper"
+    dof = 1
+    speed = 0.01
+
+    @property
+    def init_qpos(self):
+        return np.array([0.5, 0, 0.5, 0, 0.5, 0])
+
+
+@register_gripper
+class WipingGripper(GripperModel):
+    """reference wiping_gripper.py: no actuation, wiping plate."""
+
+    card_name = "wiping_gripper"
+    dof = 0
+    speed = 0.0
+
+    @property
+    def _important_sites(self):
+        return {"grip_site": "grip_site", "grip_cylinder": "grip_site_cylinder", "ee": "ft_frame"}
+
+
+@register_gripper
+class NullGripper(GripperModel):
+    """reference null_gripper.py: no gripper."""
+
+    card_name = "null_gripper"
+    dof = 0
+    speed = 0.0
+
+    @property
+    def _important_sites(self):
+        return {"grip_site": "grip_site", "grip_cylinder": "grip_site_cylinder", "ee": "ft_frame"}

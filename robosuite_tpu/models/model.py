@@ -229,8 +229,12 @@ def _mat2quat_np(m):
 
 
 def _eig_principal(I):
-    """Eigendecompose a 3x3 inertia: principal moments sorted descending
-    (MuJoCo convention) with a right-handed eigenvector frame."""
+    """Eigendecompose a 3x3 inertia (MuJoCo convention: already-diagonal
+    tensors keep their axis order with the identity frame; otherwise
+    principal moments sorted descending with a right-handed frame)."""
+    off = abs(I[0, 1]) + abs(I[0, 2]) + abs(I[1, 2])
+    if off < 1e-12 * max(np.trace(I), 1e-12):
+        return np.diag(I).copy(), np.eye(3)
     w, v = np.linalg.eigh(I)
     order = np.argsort(w)[::-1]
     w = w[order]
@@ -272,7 +276,9 @@ def _body_inertial(body: S.BodySpec, inertia_group_range=(0, 0)):
         total_m += m
         com += m * g.pos
     if total_m <= 0:
-        return 0.0, np.zeros(3), np.array([1.0, 0, 0, 0]), np.zeros(3)
+        # MuJoCo convention for massless (welded) bodies: ipos mirrors the
+        # body's own frame offset (observed from compiled reference models)
+        return 0.0, np.asarray(body.pos, dtype=np.float64).copy(), np.array([1.0, 0, 0, 0]), np.zeros(3)
     com /= total_m
     I_total = np.zeros((3, 3))
     for g, m, I_g in contributing:
