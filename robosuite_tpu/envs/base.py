@@ -1,0 +1,334 @@
+"""Environment base: the functional gym-style simulation API.
+
+Re-derivation of the reference environment layer (environments/base.py:59-853
+MujocoEnv, robot_env.py RobotEnv, manipulation_env.py ManipulationEnv) with
+the hot loop inverted for TPU: instead of a Python loop calling into C
+25 times per policy step (reference base.py:494-505), `step` is one jitted
+function containing a lax.scan over substeps with the controller law fused
+in; `reset` is pure (counter-based RNG), and both vmap over a batch axis.
+
+Registry + make() mirror reference environments/base.py:16-56.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from robosuite_tpu import macros
+from robosuite_tpu.models.bases import robot_base_factory
+from robosuite_tpu.models.grippers import gripper_factory
+from robosuite_tpu.models.robots import create_robot
+from robosuite_tpu.physics import engine
+from robosuite_tpu.physics.state import State
+from robosuite_tpu.robots import FixedBaseRobot, RobotCtrlState
+
+REGISTERED_ENVS: Dict[str, type] = {}
+
+
+def register_env(cls):
+    REGISTERED_ENVS[cls.__name__] = cls
+    return cls
+
+
+class _EnvList:
+    def __iter__(self):
+        return iter(sorted(REGISTERED_ENVS))
+
+    def __contains__(self, k):
+        return k in REGISTERED_ENVS
+
+    def __repr__(self):
+        return repr(sorted(REGISTERED_ENVS))
+
+
+ALL_ENVIRONMENTS = _EnvList()
+
+
+def make(env_name: str, *args, **kwargs):
+    """reference environments/base.py:23-42."""
+    if env_name not in REGISTERED_ENVS:
+        raise ValueError(f"unknown env {env_name}; known: {sorted(REGISTERED_ENVS)}")
+    return REGISTERED_ENVS[env_name](*args, **kwargs)
+
+
+@struct.dataclass
+class EnvState:
+    """Full env state: physics + controller + episode bookkeeping."""
+
+    physics: State
+    ctrl: RobotCtrlState
+    t: Any          # policy step count
+    rng: Any        # jax PRNG key
+
+
+class RobotEnv:
+    """Host-side env handle; builds the world once and exposes pure
+    reset/step functions (jit/vmap-able)."""
+
+    def __init__(
+        self,
+        robots="Panda",
+        controller_configs=None,
+        control_freq=macros.DEFAULT_CONTROL_FREQ,
+        horizon=macros.DEFAULT_HORIZON,
+        reward_scale=1.0,
+        reward_shaping=False,
+        initialization_noise="default",
+        dtype=np.float32,
+    ):
+        self.robot_names = [robots] if isinstance(robots, str) else list(robots)
+        self.control_freq = control_freq
+        self.horizon = horizon
+        self.reward_scale = reward_scale
+        self.reward_shaping = reward_shaping
+        self.n_substeps = int(round(1.0 / (control_freq * macros.SIMULATION_TIMESTEP)))
+        # reference robot.py:234-300: "default" -> gaussian 0.02
+        if initialization_noise == "default":
+            self.init_noise_mag = 0.02
+        elif initialization_noise is None:
+            self.init_noise_mag = 0.0
+        else:
+            self.init_noise_mag = float(initialization_noise.get("magnitude", 0.02))
+
+        # --- build robot models (reference robot_env.py:597 _load_robots) ----
+        self.robot_models = []
+        for i, name in enumerate(self.robot_names):
+            rm = create_robot(name, idn=i)
+            rm.add_base(robot_base_factory(rm.default_base, idn=i))
+            for arm in rm.arms:
+                g = gripper_factory(rm.default_gripper[arm], idn=i, arm=arm)
+                rm.add_gripper(g, arm)
+            self.robot_models.append(rm)
+
+        # --- task-specific world (subclass hook) ------------------------------
+        self._load_model()
+        self.model = self.task.compile(dtype=dtype)
+
+        # --- runtime robots ---------------------------------------------------
+        cfgs = controller_configs if controller_configs is not None else [None] * len(self.robot_models)
+        if not isinstance(cfgs, (list, tuple)):
+            cfgs = [cfgs] * len(self.robot_models)
+        self.robots = [FixedBaseRobot(self.model, rm, cfg) for rm, cfg in zip(self.robot_models, cfgs)]
+
+        self._setup_references()
+
+        # jitted entry points
+        self._reset_jit = jax.jit(self._reset_impl)
+        self._step_jit = jax.jit(self._step_impl)
+
+    # -- subclass hooks --------------------------------------------------------
+    def _load_model(self):
+        raise NotImplementedError
+
+    def _setup_references(self):
+        pass
+
+    def reward(self, obs_dict, physics_state, kin):
+        return jnp.asarray(0.0)
+
+    def _check_success(self, physics_state, kin):
+        return jnp.asarray(False)
+
+    def _sample_placements(self, rng):
+        """Return qpos updates for object placement: (idx, values) or None."""
+        return None
+
+    def _get_observations(self, physics_state, kin):
+        return {}
+
+    # -- contact queries (reference manipulation_env.py:331-376 _check_grasp,
+    # base.py check_contact) ---------------------------------------------------
+    def _pair_point_rows(self):
+        """Map candidate-pair index -> contact-buffer row indices (static)."""
+        from robosuite_tpu.physics.contact import pair_max_points
+
+        if not hasattr(self, "_pair_rows_cache"):
+            rows = {}
+            row = 0
+            for k in range(self.model.npair):
+                npts = pair_max_points(
+                    self.model.geom_type[self.model.pair_geom1[k]],
+                    self.model.geom_type[self.model.pair_geom2[k]],
+                )
+                rows[k] = list(range(row, row + npts))
+                row += npts
+            self._pair_rows_cache = rows
+        return self._pair_rows_cache
+
+    def _contact_rows(self, geoms_a, geoms_b):
+        """Static contact-buffer rows for pairs between two geom name sets."""
+        geoms_a, geoms_b = set(geoms_a), set(geoms_b)
+        rows = []
+        pr = self._pair_point_rows()
+        for k in range(self.model.npair):
+            g1 = self.model.geom_names[self.model.pair_geom1[k]]
+            g2 = self.model.geom_names[self.model.pair_geom2[k]]
+            if (g1 in geoms_a and g2 in geoms_b) or (g2 in geoms_a and g1 in geoms_b):
+                rows.extend(pr[k])
+        return np.asarray(rows, dtype=np.int32)
+
+    def _any_contact(self, kin, rows):
+        """True if any of the given contact rows is touching."""
+        from robosuite_tpu.physics import contact as cmod
+
+        if rows.size == 0:
+            return jnp.asarray(False)
+        con = cmod.narrowphase(self.model, kin)
+        return jnp.any(con["dist"][jnp.asarray(rows)] < 0.0)
+
+    def check_grasp(self, kin, left_rows, right_rows):
+        """Both fingerpads touching the object (manipulation_env.py:331-376)."""
+        return self._any_contact(kin, left_rows) & self._any_contact(kin, right_rows)
+
+    def grasp_rows(self, robot_idx, arm, object_geoms):
+        """(left_rows, right_rows) for a gripper vs an object's geoms."""
+        grip = self.robot_models[robot_idx].grippers[arm]
+        left = self._contact_rows(grip.important_geoms["left_fingerpad"], object_geoms)
+        right = self._contact_rows(grip.important_geoms["right_fingerpad"], object_geoms)
+        return left, right
+
+    # -- action space ----------------------------------------------------------
+    @property
+    def action_dim(self) -> int:
+        return sum(r.action_dim for r in self.robots)
+
+    @property
+    def action_spec(self):
+        low = -np.ones(self.action_dim, dtype=np.float32)
+        return low, -low
+
+    # -- core functional API ---------------------------------------------------
+    def _initial_qpos(self, rng):
+        qpos = jnp.asarray(self.model.qpos0)
+        keys = jax.random.split(rng, len(self.robots) + 1)
+        for i, (robot, rm) in enumerate(zip(self.robots, self.robot_models)):
+            iq = jnp.asarray(np.concatenate([np.asarray(rm.init_qpos).reshape(-1)]), dtype=qpos.dtype)
+            noise = self.init_noise_mag * jax.random.normal(keys[i], iq.shape, dtype=qpos.dtype)
+            all_arm_idx = np.concatenate([robot.arm_qpos_idx[a] for a in robot.arms])
+            qpos = qpos.at[jnp.asarray(all_arm_idx)].set(iq + noise)
+            for arm in robot.arms:
+                grip = rm.grippers.get(arm)
+                if grip is not None and len(robot.gripper_joint_qpos_idx[arm]):
+                    qpos = qpos.at[jnp.asarray(robot.gripper_joint_qpos_idx[arm])].set(
+                        jnp.asarray(grip.init_qpos, dtype=qpos.dtype)
+                    )
+        return qpos, keys[-1]
+
+    def _reset_impl(self, rng):
+        qpos, rng = self._initial_qpos(rng)
+        placement = self._sample_placements(rng)
+        if placement is not None:
+            idx, vals, rng = placement
+            qpos = qpos.at[idx].set(vals)
+        physics = State(qpos=qpos, qvel=jnp.zeros(self.model.nv, dtype=qpos.dtype), time=jnp.asarray(0.0, dtype=qpos.dtype))
+        kin, M, bias = engine.forward_products(self.model, physics)
+        ctrl_states = [r.init_ctrl_state(kin, M, bias, physics.qpos, physics.qvel) for r in self.robots]
+        state = EnvState(physics=physics, ctrl=self._pack_ctrl(ctrl_states), t=jnp.asarray(0, dtype=jnp.int32), rng=rng)
+        obs = self._get_observations(physics, kin)
+        return state, obs
+
+    def _pack_ctrl(self, ctrl_states):
+        if len(ctrl_states) == 1:
+            return ctrl_states[0]
+        return tuple(ctrl_states)
+
+    def _unpack_ctrl(self, ctrl):
+        if len(self.robots) == 1:
+            return [ctrl]
+        return list(ctrl)
+
+    def _split_robot_actions(self, action):
+        out = []
+        i = 0
+        for r in self.robots:
+            out.append(action[..., i : i + r.action_dim])
+            i += r.action_dim
+        return out
+
+    def _step_impl(self, state: EnvState, action):
+        action = jnp.clip(action, -1.0, 1.0)
+        model = self.model
+        physics = state.physics
+
+        # policy-rate: set goals with the current state (reference
+        # fixed_base_robot.py:145-148 policy_step branch)
+        kin, M, bias = engine.forward_products(model, physics)
+        ctrl_states = self._unpack_ctrl(state.ctrl)
+        robot_actions = self._split_robot_actions(action)
+        ctrl_states = [
+            r.set_goals(kin, M, bias, physics.qpos, physics.qvel, cs, a)
+            for r, cs, a in zip(self.robots, ctrl_states, robot_actions)
+        ]
+        packed = self._pack_ctrl(ctrl_states)
+
+        def substep(phys, _):
+            kin, M, bias = engine.forward_products(model, phys)
+            ctrl = jnp.zeros(model.nu, dtype=phys.qpos.dtype)
+            for r, cs in zip(self.robots, ctrl_states):
+                ctrl = r.run_controllers(kin, M, bias, phys.qpos, phys.qvel, cs, ctrl)
+            new_phys = engine.integrate(model, phys, ctrl, kin, M, bias)
+            return new_phys, ()
+
+        physics, _ = jax.lax.scan(substep, physics, None, length=self.n_substeps)
+
+        kin, _, _ = engine.forward_products(model, physics)
+        obs = self._get_observations(physics, kin)
+        reward = self.reward(obs, physics, kin)
+        t = state.t + 1
+        done = t >= self.horizon
+        new_state = EnvState(physics=physics, ctrl=packed, t=t, rng=state.rng)
+        return new_state, obs, reward, done, {}
+
+    def _rollout_impl(self, state: EnvState, action):
+        """Lean policy step for planners: no observation dict, returns
+        (new_state, reward). Same physics/controller path as _step_impl."""
+        action = jnp.clip(action, -1.0, 1.0)
+        model = self.model
+        physics = state.physics
+        kin, M, bias = engine.forward_products(model, physics)
+        ctrl_states = self._unpack_ctrl(state.ctrl)
+        robot_actions = self._split_robot_actions(action)
+        ctrl_states = [
+            r.set_goals(kin, M, bias, physics.qpos, physics.qvel, cs, a)
+            for r, cs, a in zip(self.robots, ctrl_states, robot_actions)
+        ]
+        packed = self._pack_ctrl(ctrl_states)
+
+        def substep(phys, _):
+            kin, M, bias = engine.forward_products(model, phys)
+            ctrl = jnp.zeros(model.nu, dtype=phys.qpos.dtype)
+            for r, cs in zip(self.robots, ctrl_states):
+                ctrl = r.run_controllers(kin, M, bias, phys.qpos, phys.qvel, cs, ctrl)
+            return engine.integrate(model, phys, ctrl, kin, M, bias), ()
+
+        physics, _ = jax.lax.scan(substep, physics, None, length=self.n_substeps)
+        kin, _, _ = engine.forward_products(model, physics)
+        reward = self.reward(None, physics, kin)
+        new_state = EnvState(physics=physics, ctrl=packed, t=state.t + 1, rng=state.rng)
+        return new_state, reward
+
+    # -- public API ------------------------------------------------------------
+    def reset(self, rng=None):
+        if rng is None:
+            rng = jax.random.PRNGKey(np.random.randint(0, 2**31 - 1))
+        return self._reset_jit(rng)
+
+    def step(self, state, action):
+        return self._step_jit(state, jnp.asarray(action))
+
+    def reset_batch(self, rngs):
+        """vmapped reset over a batch of PRNG keys."""
+        if not hasattr(self, "_reset_batch_jit"):
+            self._reset_batch_jit = jax.jit(jax.vmap(self._reset_impl))
+        return self._reset_batch_jit(rngs)
+
+    def step_batch(self, states, actions):
+        if not hasattr(self, "_step_batch_jit"):
+            self._step_batch_jit = jax.jit(jax.vmap(self._step_impl))
+        return self._step_batch_jit(states, actions)

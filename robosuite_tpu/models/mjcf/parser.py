@@ -142,6 +142,12 @@ def _parse_defaults(root: ET.Element) -> _Defaults:
 
 
 def parse_mjcf(path_or_string, name: Optional[str] = None) -> S.ModelSpec:
+    _counter = {"n": 0}
+
+    def _auto(prefix):
+        _counter["n"] += 1
+        return f"{prefix}{_counter['n']}"
+
     if os.path.exists(str(path_or_string)):
         tree = ET.parse(path_or_string)
         root = tree.getroot()
@@ -179,7 +185,7 @@ def parse_mjcf(path_or_string, name: Optional[str] = None) -> S.ModelSpec:
         a = defaults.resolve("geom", el, cls)
         gtype = a.get("type", "sphere")
         kw = dict(
-            name=a.get("name", f"geom{id(el)}"),
+            name=a.get("name") or _auto("geom"),
             type=gtype if gtype in S.GEOM_TYPES else "sphere",
         )
         if "size" in a:
@@ -217,7 +223,7 @@ def parse_mjcf(path_or_string, name: Optional[str] = None) -> S.ModelSpec:
 
     def parse_joint(el, cls) -> S.JointSpec:
         a = defaults.resolve("joint", el, cls)
-        kw = dict(name=a.get("name", f"joint{id(el)}"), type=a.get("type", "hinge"))
+        kw = dict(name=a.get("name") or _auto("joint"), type=a.get("type", "hinge"))
         if "pos" in a:
             kw["pos"] = _parse_floats(a["pos"], 3)
         if "axis" in a:
@@ -237,7 +243,7 @@ def parse_mjcf(path_or_string, name: Optional[str] = None) -> S.ModelSpec:
 
     def parse_site(el, cls) -> S.SiteSpec:
         a = defaults.resolve("site", el, cls)
-        kw = dict(name=a.get("name", f"site{id(el)}"))
+        kw = dict(name=a.get("name") or _auto("site"))
         if "pos" in a:
             kw["pos"] = _parse_floats(a["pos"], 3)
         kw["quat"] = _orientation(ET.Element("x", {k: v for k, v in a.items() if k in ("quat", "euler", "axisangle", "xyaxes", "zaxis")}), comp)
@@ -254,7 +260,7 @@ def parse_mjcf(path_or_string, name: Optional[str] = None) -> S.ModelSpec:
     def parse_body(el, parent: S.BodySpec, childclass: Optional[str]):
         cls = el.get("childclass", childclass)
         b = S.BodySpec(
-            name=el.get("name", f"body{id(el)}"),
+            name=el.get("name") or _auto("body"),
             pos=_parse_floats(el.get("pos", "0 0 0"), 3),
             quat=_orientation(el, comp),
         )
@@ -282,7 +288,7 @@ def parse_mjcf(path_or_string, name: Optional[str] = None) -> S.ModelSpec:
             elif child.tag == "camera":
                 b.cameras.append(
                     S.CameraSpec(
-                        name=child.get("name", f"cam{id(child)}"),
+                        name=child.get("name") or _auto("cam"),
                         pos=_parse_floats(child.get("pos", "0 0 0"), 3),
                         quat=_orientation(child, comp),
                         fovy=float(child.get("fovy", "45")),
@@ -304,7 +310,7 @@ def parse_mjcf(path_or_string, name: Optional[str] = None) -> S.ModelSpec:
             elif child.tag == "camera":
                 ms.worldbody.cameras.append(
                     S.CameraSpec(
-                        name=child.get("name", f"cam{id(child)}"),
+                        name=child.get("name") or _auto("cam"),
                         pos=_parse_floats(child.get("pos", "0 0 0"), 3),
                         quat=_orientation(child, comp),
                         fovy=float(child.get("fovy", "45")),
@@ -320,7 +326,7 @@ def parse_mjcf(path_or_string, name: Optional[str] = None) -> S.ModelSpec:
                 continue
             kind = {"motor": "motor", "position": "position", "velocity": "velocity", "general": "motor"}[a_el.tag]
             kw = dict(
-                name=a.get("name", f"act{id(a_el)}"),
+                name=a.get("name") or _auto("act"),
                 joint=a.get("joint"),
                 kind=kind,
             )

@@ -1,0 +1,99 @@
+"""Device-mesh scaling: shard batched envs/solvers over TPU meshes.
+
+The TPU-native replacement for the reference's (absent) distributed story
+(SURVEY.md §2.9): scenario-axis data parallelism via shard_map over a 1-D
+mesh, with XLA collectives (psum/pmean) for cross-scenario reductions
+(MPPI weight normalization, convergence tests, metric aggregation). DCN
+multi-host scaling uses the same code path — jax.distributed.initialize +
+a larger mesh.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+
+SCENARIO_AXIS = "scenario"
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = SCENARIO_AXIS) -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+def shard_batch(mesh: Mesh, tree, axis: str = SCENARIO_AXIS):
+    """Place a batched pytree with its leading axis sharded over the mesh."""
+    sharding = NamedSharding(mesh, P(axis))
+    return jax.device_put(tree, sharding)
+
+
+def sharded_env_step(env, mesh: Mesh, axis: str = SCENARIO_AXIS, batcher=None):
+    """Batched env step sharded over the scenario axis.
+
+    Returns step(states, actions) -> (states', mean_reward) where the mean
+    reward is reduced across the full batch with an ICI psum.
+
+    batcher: jax.vmap (default, TPU) or a lax.map-based fallback — XLA:CPU
+    compile of the vmapped physics graph is pathologically slow, so CPU
+    dryruns pass batcher="map".
+    """
+    spec = P(axis)
+
+    def _batched(states, actions):
+        if batcher == "map":
+            return jax.lax.map(lambda sa: env._rollout_impl(*sa), (states, actions))
+        return jax.vmap(env._rollout_impl)(states, actions)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(spec, spec),
+        out_specs=(spec, P()),
+        check_rep=False,
+    )
+    def _step(states, actions):
+        states2, rewards = _batched(states, actions)
+        local_sum = jnp.sum(rewards)
+        total = jax.lax.psum(local_sum, axis)
+        n = jax.lax.psum(jnp.asarray(rewards.shape[0], dtype=rewards.dtype), axis)
+        return states2, total / n
+
+    return jax.jit(_step)
+
+
+def sharded_mppi_solver(env, mppi_cfg, mesh: Mesh, axis: str = SCENARIO_AXIS):
+    """Batch of independent MPC solves, sharded over devices.
+
+    Each element of the batch is one receding-horizon MPC instance; the
+    sampled rollouts within each solve vmap on-device. Returns
+    solve(env_states, planner_states) -> (actions, planners', mean_return).
+    """
+    from robosuite_tpu.mpc import mppi as mppi_mod
+
+    spec = P(axis)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(spec, spec),
+        out_specs=(spec, spec, P()),
+        check_rep=False,
+    )
+    def _solve(env_states, planners):
+        def one(es, pl):
+            return mppi_mod.mppi_update(mppi_cfg, env._rollout_impl, es, pl)
+
+        actions, new_planners = jax.vmap(one)(env_states, planners)
+        mean_ret = jax.lax.pmean(jnp.mean(jnp.sum(new_planners.mean, axis=(-2, -1))), axis)
+        return actions, new_planners, mean_ret
+
+    return jax.jit(_solve)

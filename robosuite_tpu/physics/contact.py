@@ -353,18 +353,15 @@ def contact_forces(model, kin, con, M, qvel, qacc_smooth, dt):
     nc = con["dist"].shape[0]
     nv = model.nv
 
-    # contact jacobians: rows (normal, t1, t2), J (nc, 3, nv)
-    def cjac(i):
-        b1, b2 = con["body1"][i], con["body2"][i]
-        p = con["pos"][i]
-        mask2 = model.ancestor_mask[b2]
-        mask1 = model.ancestor_mask[b1]
-        jac_lin = kin.sdof_lin + jnp.cross(kin.sdof_ang, p[None, :])  # (nv,3)
-        Jp = (mask2 - mask1)[:, None] * jac_lin  # relative velocity b2 - b1
-        frame = jnp.stack([con["normal"][i], con["t1"][i], con["t2"][i]])  # (3,3)
-        return frame @ Jp.T  # (3, nv)
-
-    J = jnp.stack([cjac(i) for i in range(nc)])  # (nc, 3, nv)
+    # contact jacobians, batched: rows (normal, t1, t2), J (nc, 3, nv)
+    b1 = np.asarray(con["body1"], dtype=np.int32)
+    b2 = np.asarray(con["body2"], dtype=np.int32)
+    dmask = model.ancestor_mask[b2] - model.ancestor_mask[b1]  # (nc, nv)
+    jac_lin = kin.sdof_lin[None, :, :] + jnp.cross(
+        kin.sdof_ang[None, :, :], con["pos"][:, None, :]
+    )  # (nc, nv, 3)
+    frame = jnp.stack([con["normal"], con["t1"], con["t2"]], axis=1)  # (nc, 3, 3)
+    J = jnp.einsum("cij,cvj,cv->civ", frame, jac_lin, dmask)  # (nc, 3, nv)
 
     # active contacts (include margin)
     pen = -(con["dist"] - con["margin"])  # > 0 when violating
@@ -412,10 +409,10 @@ def contact_forces(model, kin, con, M, qvel, qacc_smooth, dt):
 
     mu = con["friction"][:, 0]
 
-    # projected block Gauss-Seidel, fixed sweeps, unrolled
-    inv_blocks = jnp.stack(
-        [jnp.linalg.inv(Areg[3 * i : 3 * i + 3, 3 * i : 3 * i + 3]) for i in range(nc)]
-    )
+    # batched 3x3 diagonal block inverses
+    blocks = Areg.reshape(nc, 3, nc, 3)
+    diag_blocks = blocks[jnp.arange(nc), :, jnp.arange(nc), :]  # (nc, 3, 3)
+    inv_blocks = jnp.linalg.inv(diag_blocks)
 
     def project(fi, mu_i):
         fn = jnp.maximum(fi[0], 0.0)
@@ -424,16 +421,21 @@ def contact_forces(model, kin, con, M, qvel, qacc_smooth, dt):
         scale = jnp.minimum(1.0, mu_i * fn / jnp.maximum(tnorm, 1e-9))
         return jnp.concatenate([fn[None], ft * scale])
 
-    f = jnp.zeros(nc * 3, dtype=qvel.dtype)
-    n_sweeps = 10
-    for _ in range(n_sweeps):
-        for i in range(nc):
-            sl = slice(3 * i, 3 * i + 3)
-            resid = rhs[sl] - Areg[sl, :] @ f + Areg[sl, sl] @ f[sl]
-            fi = inv_blocks[i] @ resid
-            fi = project(fi, mu[i])
-            fi = jnp.where(active[i], fi, 0.0)
-            f = f.at[sl].set(fi)
+    active_f = active.astype(qvel.dtype)
+
+    def gs_contact(i, f):
+        blk = jax.lax.dynamic_slice(Areg, (3 * i, 0), (3, nc * 3))  # (3, 3nc)
+        fi_old = jax.lax.dynamic_slice(f, (3 * i,), (3,))
+        Aii = jax.lax.dynamic_slice(blocks.reshape(nc, 3, nc * 3), (i, 0, 3 * i), (1, 3, 3))[0]
+        resid = jax.lax.dynamic_slice(rhs, (3 * i,), (3,)) - blk @ f + Aii @ fi_old
+        fi = inv_blocks[i] @ resid
+        fi = project(fi, mu[i]) * active_f[i]
+        return jax.lax.dynamic_update_slice(f, fi, (3 * i,))
+
+    def gs_sweep(_, f):
+        return jax.lax.fori_loop(0, nc, gs_contact, f)
+
+    f = jax.lax.fori_loop(0, 10, gs_sweep, jnp.zeros(nc * 3, dtype=qvel.dtype))
 
     qfrc = Jf.T @ f
     return qfrc

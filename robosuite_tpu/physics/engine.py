@@ -102,17 +102,22 @@ def _total_smooth_force(model, state, ctrl, kin, bias):
     return qfrc_act + qfrc_spring + qfrc_limit + qfrc_fric - bias
 
 
-def step(model, state: State, ctrl) -> State:
-    """One physics substep at model.timestep (mj_step analog)."""
-    dt = model.timestep
+def forward_products(model, state: State):
+    """(kin, M, bias): the per-substep quantities shared between the
+    controller layer (mj_step1 analog) and the integrator."""
     kin = kinematics.fk(model, state.qpos)
     M = dynamics.crba(model, kin)
     bias = dynamics.rnea_bias(model, kin, state.qvel)
+    return kin, M, bias
+
+
+def integrate(model, state: State, ctrl, kin, M, bias) -> State:
+    """mj_step2 analog: forces + contacts + semi-implicit integration, given
+    precomputed forward products."""
+    dt = model.timestep
     qfrc_smooth = _total_smooth_force(model, state, ctrl, kin, bias)
 
-    # implicit joint damping (MuJoCo Euler-damp): fold into the LHS
     Mh = M + dt * jnp.diag(model.dof_damping)
-
     qacc_smooth = jnp.linalg.solve(M, qfrc_smooth - model.dof_damping * state.qvel)
     con = contact_mod.narrowphase(model, kin)
     qfrc_con = contact_mod.contact_forces(model, kin, con, M, state.qvel, qacc_smooth, dt)
@@ -123,7 +128,13 @@ def step(model, state: State, ctrl) -> State:
     return State(qpos=qpos_new, qvel=qvel_new, time=state.time + dt)
 
 
-@partial(jax.jit, static_argnums=(0, 3))
+def step(model, state: State, ctrl) -> State:
+    """One physics substep at model.timestep (mj_step analog)."""
+    kin, M, bias = forward_products(model, state)
+    return integrate(model, state, ctrl, kin, M, bias)
+
+
+@partial(jax.jit, static_argnums=(3,))
 def step_n(model, state: State, ctrl, n: int) -> State:
     """n substeps under one ctrl (the reference's 25-substep policy loop,
     environments/base.py:494, as a lax.scan)."""

@@ -1,0 +1,3 @@
+from robosuite_tpu.wrappers.wrapper import Wrapper  # noqa: F401
+from robosuite_tpu.wrappers.gym_wrapper import GymWrapper  # noqa: F401
+from robosuite_tpu.wrappers.data_collection_wrapper import DataCollectionWrapper  # noqa: F401

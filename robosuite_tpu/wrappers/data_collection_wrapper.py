@@ -1,0 +1,81 @@
+"""Trajectory recording wrapper.
+
+Re-derivation of reference wrappers/data_collection_wrapper.py:16-215:
+logs flattened states (time, qpos, qvel — MjSimState layout) and actions to
+per-episode .npz directories at collect_freq, flushing every flush_freq.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import numpy as np
+
+from robosuite_tpu.wrappers.wrapper import Wrapper
+
+
+class DataCollectionWrapper(Wrapper):
+    def __init__(self, env, directory: str, collect_freq: int = 1, flush_freq: int = 100):
+        super().__init__(env)
+        self.directory = directory
+        self.collect_freq = collect_freq
+        self.flush_freq = flush_freq
+        os.makedirs(directory, exist_ok=True)
+
+        self.ep_directory: Optional[str] = None
+        self.states = []
+        self.action_infos = []
+        self.successful = False
+        self.t = 0
+        self.has_interaction = False
+
+    def _start_new_episode(self):
+        if self.has_interaction:
+            self._flush()
+        self.t = 0
+        self.has_interaction = False
+        self.successful = False
+        t1, t2 = str(time.time()).split(".")
+        self.ep_directory = os.path.join(self.directory, f"ep_{t1}_{t2}")
+        os.makedirs(self.ep_directory, exist_ok=True)
+
+    def _flush(self):
+        """reference data_collection_wrapper.py:162-209."""
+        if self.ep_directory is None or not self.states:
+            return
+        t1, t2 = str(time.time()).split(".")
+        path = os.path.join(self.ep_directory, f"state_{t1}_{t2}.npz")
+        np.savez(
+            path,
+            states=np.array(self.states),
+            action_infos=np.array([a["actions"] for a in self.action_infos]),
+            successful=self.successful,
+        )
+        self.states = []
+        self.action_infos = []
+
+    def reset(self, rng=None):
+        out = super().reset(rng)
+        self._start_new_episode()
+        return out
+
+    def step(self, state, action):
+        result = super().step(state, action)
+        new_state = result[0]
+        self.t += 1
+        self.has_interaction = True
+        if self.t % self.collect_freq == 0:
+            flat = np.asarray(new_state.physics.flatten())
+            self.states.append(flat)
+            self.action_infos.append({"actions": np.asarray(action)})
+        if hasattr(self.env, "_check_success"):
+            pass  # success tracked by env reward; optional
+        if self.t % self.flush_freq == 0:
+            self._flush()
+        return result
+
+    def close(self):
+        if self.has_interaction:
+            self._flush()

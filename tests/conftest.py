@@ -16,6 +16,11 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# NOTE: do NOT enable the persistent compilation cache here: in this
+# environment an axon remote-compile service produces XLA:CPU AOT results
+# targeting a different microarchitecture (AVX512/AMX); loading them locally
+# can SIGILL. Tests keep worlds/graphs small instead.
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

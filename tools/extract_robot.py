@@ -124,6 +124,14 @@ GRIPPERS = {
     "null_gripper": "grippers/null_gripper.xml",
 }
 
+OBJECTS = {
+    "door": "objects/door.xml",
+    "door_lock": "objects/door_lock.xml",
+    "plate_with_hole": "objects/plate-with-hole.xml",
+    "square_nut": "objects/square-nut.xml",
+    "round_nut": "objects/round-nut.xml",
+}
+
 BASES = {
     "rethink_mount": "bases/rethink_mount.xml",
     "rethink_minimal_mount": "bases/rethink_minimal_mount.xml",
@@ -135,7 +143,7 @@ BASES = {
 def main():
     os.makedirs(OUT_DIR, exist_ok=True)
     done, skipped = [], []
-    for group, table in (("robots", ROBOTS), ("grippers", GRIPPERS), ("bases", BASES)):
+    for group, table in (("robots", ROBOTS), ("grippers", GRIPPERS), ("bases", BASES), ("objects", OBJECTS)):
         for name, rel in table.items():
             path = os.path.join(REF_ASSETS, rel)
             if not os.path.exists(path):

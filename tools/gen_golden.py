@@ -221,5 +221,80 @@ def record_env(env_name="Lift", robot="Panda", n_policy_steps=40, seed=17, out=N
     print("bodies:", names["body_names"])
 
 
+def record_controller_probe(env_name="Lift", robot="Panda", n_probes=64, seed=23, out=None, states="random"):
+    """Isolated OSC probe: random states -> reference controller torques.
+
+    For each probe: set (qpos, qvel), forward, robot.control(action,
+    policy_step=True), record the controller's cached state and output
+    torques. This is the direct oracle for the BASELINE torque-parity
+    metric (OSC law given matching robot state).
+    """
+    env = robosuite.make(
+        env_name, robots=robot, has_renderer=False, has_offscreen_renderer=False,
+        use_camera_obs=False, seed=seed,
+    )
+    env.reset()
+    sim = env.sim
+    robot0 = env.robots[0]
+    cc = robot0.composite_controller
+    arm_ctrl = cc.part_controllers["right"]
+    grip_ctrl = cc.part_controllers["right_gripper"]
+
+    rng = np.random.default_rng(seed)
+    jr = sim.model._model.jnt_range[:7].copy()
+    recs = {k: [] for k in (
+        "qpos", "qvel", "action", "torques", "goal_pos", "goal_ori", "origin_pos", "origin_ori",
+        "M", "J", "bias", "ref_pos", "ref_ori", "ref_velp", "ref_velr", "initial_joint", "ctrl_out",
+    )}
+    for k in range(n_probes):
+        if states == "rollout":
+            # operational configs: advance the env with a random policy and
+            # probe at the visited states (the BASELINE protocol regime)
+            env.step(rng.uniform(-1, 1, env.action_dim))
+            qpos = sim.data.qpos.copy()
+            qvel = sim.data.qvel.copy()
+        else:
+            qpos = sim.data.qpos.copy()
+            # arm joints uniform within 80% of limits; fingers random
+            lo, hi = jr[:, 0], jr[:, 1]
+            mid, half = 0.5 * (lo + hi), 0.4 * (hi - lo)
+            qpos[:7] = mid + rng.uniform(-1, 1, 7) * half
+            qpos[7] = rng.uniform(0.0, 0.04)
+            qpos[8] = rng.uniform(-0.04, 0.0)
+            qvel = rng.uniform(-0.5, 0.5, sim.model._model.nv)
+        sim.data.qpos[:] = qpos
+        sim.data.qvel[:] = qvel
+        sim.forward()
+        action = rng.uniform(-1, 1, env.action_dim)
+        # reset goal state so each probe is independent
+        arm_ctrl.goal_pos = None
+        arm_ctrl.goal_ori = None
+        arm_ctrl.new_update = True
+        robot0.control(action, policy_step=True)
+        recs["qpos"].append(qpos.copy())
+        recs["qvel"].append(qvel.copy())
+        recs["action"].append(action.copy())
+        recs["torques"].append(np.array(arm_ctrl.torques))
+        recs["goal_pos"].append(np.array(arm_ctrl.goal_pos))
+        recs["goal_ori"].append(np.array(arm_ctrl.goal_ori))
+        recs["origin_pos"].append(np.array(arm_ctrl.origin_pos))
+        recs["origin_ori"].append(np.array(arm_ctrl.origin_ori))
+        recs["M"].append(arm_ctrl.mass_matrix.copy())
+        recs["J"].append(arm_ctrl.J_full.copy())
+        recs["bias"].append(arm_ctrl.torque_compensation.copy())
+        recs["ref_pos"].append(np.array(arm_ctrl.ref_pos))
+        recs["ref_ori"].append(np.array(arm_ctrl.ref_ori_mat))
+        recs["ref_velp"].append(np.array(arm_ctrl.ref_pos_vel))
+        recs["ref_velr"].append(np.array(arm_ctrl.ref_ori_vel))
+        recs["initial_joint"].append(np.array(arm_ctrl.initial_joint))
+        recs["ctrl_out"].append(sim.data.ctrl.copy())
+
+    out = out or f"tests/fixtures/osc_probe_{robot.lower()}.npz"
+    np.savez_compressed(out, **{k: np.array(v) for k, v in recs.items()})
+    print("wrote", out, "probes", n_probes)
+
+
 if __name__ == "__main__":
     record_env()
+    record_controller_probe()
+    record_controller_probe(states="rollout", out="tests/fixtures/osc_probe_panda_rollout.npz")
