@@ -172,18 +172,16 @@ class BinsArena(Arena):
 
 
 class PegsArena(TableArena):
-    """reference arenas/pegs_arena.py: table + two pegs (NutAssembly)."""
+    """reference arenas/pegs_arena.py: table + two peg bodies
+    (positions/sizes from pegs_arena.xml)."""
 
     def __init__(self, table_full_size=(0.45, 0.69, 0.05), table_friction=(1, 0.005, 0.0001), table_offset=(0, 0, 0.8)):
         super().__init__(table_full_size=table_full_size, table_friction=table_friction, table_offset=table_offset)
-        table = self.spec.worldbody.find_body("table")
-        # square peg + round peg on the tabletop (positions from pegs_arena.xml)
-        table.add_geom(
-            S.GeomSpec("peg1_g0", type="box", size=(0.015, 0.015, 0.0475), pos=(0.1, 0.15, self.table_half_size[2] + 0.0475))
-        )
-        table.add_geom(
-            S.GeomSpec("peg2_g0", type="cylinder", size=(0.0125, 0.0475), pos=(0.1, -0.15, self.table_half_size[2] + 0.0475))
-        )
+        wb = self.spec.worldbody
+        peg1 = wb.add_body(S.BodySpec("peg1", pos=(0.23, 0.1, 0.85)))
+        peg1.add_geom(S.GeomSpec("peg1_g0", type="box", size=(0.016, 0.016, 0.1), friction=(1, 0.005, 0.0001)))
+        peg2 = wb.add_body(S.BodySpec("peg2", pos=(0.23, -0.1, 0.85)))
+        peg2.add_geom(S.GeomSpec("peg2_g0", type="cylinder", size=(0.02, 0.1), friction=(1, 0.005, 0.0001)))
 
 
 class WipeArena(TableArena):

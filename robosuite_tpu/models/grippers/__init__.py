@@ -47,12 +47,16 @@ class GripperModel:
             assert len(ms.worldbody.children) == 1
             self._root = ms.worldbody.children[0]
             self._root.apply_prefix(self.naming_prefix)
+            # tendon-transmission actuators (joint=None) are skipped: the
+            # tendon/equality subsystem is not yet modeled (XArm7Gripper
+            # synthesizes per-joint servos instead)
             self._actuators = [
                 S.ActuatorSpec(
                     name=self.naming_prefix + a.name, joint=self.naming_prefix + a.joint, kind=a.kind,
                     gear=a.gear, ctrlrange=a.ctrlrange, forcerange=a.forcerange, kp=a.kp, kv=a.kv,
                 )
                 for a in ms.actuators
+                if a.joint is not None
             ]
 
     @property
@@ -188,6 +192,15 @@ class Robotiq140Gripper(GripperModel):
     def init_qpos(self):
         return np.array([0.012, 0.065, 0.065, -0.012, 0.065, 0.065])
 
+    @property
+    def _important_geoms(self):
+        return {
+            "left_finger": ["left_outer_finger_collision", "left_inner_finger_collision", "left_fingertip_collision", "left_fingerpad_collision"],
+            "right_finger": ["right_outer_finger_collision", "right_inner_finger_collision", "right_fingertip_collision", "right_fingerpad_collision"],
+            "left_fingerpad": ["left_fingerpad_collision"],
+            "right_fingerpad": ["right_fingerpad_collision"],
+        }
+
 
 @register_gripper
 class JacoThreeFingerGripper(GripperModel):
@@ -200,6 +213,17 @@ class JacoThreeFingerGripper(GripperModel):
     @property
     def init_qpos(self):
         return np.array([0.5, 0, 0.5, 0, 0.5, 0])
+
+    @property
+    def _important_geoms(self):
+        return {
+            "left_finger": ["index_proximal_collision", "index_distal_collision", "index_tip_collision",
+                            "pinky_proximal_collision", "pinky_distal_collision", "pinky_tip_collision",
+                            "index_pad_collision", "pinky_pad_collision"],
+            "right_finger": ["thumb_proximal_collision", "thumb_distal_collision", "thumb_tip_collision", "thumb_pad_collision"],
+            "left_fingerpad": ["index_pad_collision", "pinky_pad_collision"],
+            "right_fingerpad": ["thumb_pad_collision"],
+        }
 
 
 @register_gripper
@@ -226,3 +250,41 @@ class NullGripper(GripperModel):
     @property
     def _important_sites(self):
         return {"grip_site": "grip_site", "grip_cylinder": "grip_site_cylinder", "ee": "ft_frame"}
+
+
+@register_gripper
+class XArm7Gripper(GripperModel):
+    """reference xarm7_gripper.py. The real gripper is a tendon+equality
+    driven linkage; until those constraints land, per-joint position servos
+    approximate the coupled closure."""
+
+    card_name = "xarm7_gripper"
+    dof = 1
+    speed = 0.2
+
+    def __init__(self, idn=0, arm="right"):
+        super().__init__(idn=idn, arm=arm)
+        for jname in ("left_driver_joint", "right_driver_joint"):
+            self._actuators.append(
+                S.ActuatorSpec(
+                    name=self.naming_prefix + jname + "_servo",
+                    joint=self.naming_prefix + jname,
+                    kind="position", kp=100.0, ctrlrange=(0.0, 0.85), forcerange=(-50, 50),
+                )
+            )
+
+    @property
+    def init_qpos(self):
+        return np.array([0.02, 0.0, 0.0, -0.02, 0.0, 0.0])
+
+    @property
+    def _important_geoms(self):
+        return {
+            "left_finger": ["finger1_collision", "finger1_pad_collision"],
+            "right_finger": ["finger2_collision", "finger2_pad_collision"],
+            "left_fingerpad": ["finger1_pad_collision"],
+            "right_fingerpad": ["finger2_pad_collision"],
+        }
+
+    def format_action_direction(self):
+        return np.array([1.0, -1.0])

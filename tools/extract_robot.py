@@ -120,8 +120,9 @@ GRIPPERS = {
     "robotiq_gripper_140": "grippers/robotiq_gripper_140.xml",
     "wiping_gripper": "grippers/wiping_gripper.xml",
     "jaco_three_finger_gripper": "grippers/jaco_three_finger_gripper.xml",
-    "robotiq_three_finger_gripper": "grippers/robotiq_s_gripper.xml",
+    "robotiq_three_finger_gripper": "grippers/robotiq_gripper_s.xml",
     "null_gripper": "grippers/null_gripper.xml",
+    "xarm7_gripper": "grippers/xarm7_gripper.xml",
 }
 
 OBJECTS = {
