@@ -518,7 +518,11 @@ def compile_spec(ms: S.ModelSpec, dtype=np.float32) -> Model:
             if dof_bodyid[d] in chain:
                 ancestor_mask[b, d] = 1.0
 
-    jnp_ = lambda x: jnp.asarray(np.asarray(x), dtype=dtype)
+    # Model leaves stay as NUMPY arrays: jitted functions close over the
+    # model, so XLA bakes them as constants at trace time (maximal constant
+    # folding) and NO eager device transfers happen at construction — on the
+    # axon TPU backend each eager op round-trips a remote-compile tunnel.
+    jnp_ = lambda x: np.asarray(x, dtype=dtype)
 
     def names_of(elems):
         out = [e.name for e in elems]

@@ -388,7 +388,20 @@ class ModelSpec:
     def joint_names(self) -> List[str]:
         return [j.name for b in self.bodies() for j in b.joints]
 
-    def compile(self, dtype=np.float32):
+    def compile(self, dtype=np.float32, device=True):
+        """Compile to a frozen Model pytree.
+
+        device=True transfers the numeric leaves to the default device with
+        ONE jax.device_put (no per-op compiles — critical on the axon TPU
+        backend where each eager op round-trips a remote-compile tunnel;
+        also avoids XLA constant-folding the whole model as literals, which
+        inflates CPU compile times ~10x).
+        """
         from robosuite_tpu.models.model import compile_spec
 
-        return compile_spec(self, dtype=dtype)
+        model = compile_spec(self, dtype=dtype)
+        if device:
+            import jax
+
+            model = jax.device_put(model)
+        return model

@@ -296,7 +296,7 @@ def narrowphase(model, kin):
     dist = jnp.concatenate(dists)
     pos = jnp.concatenate(poss)
     normal = jnp.concatenate(nrms)
-    pair_idx = jnp.asarray(con_pair, dtype=jnp.int32)
+    pair_idx = np.asarray(con_pair, dtype=np.int32)  # static index
 
     # tangent frame via stable orthonormalization
     n = normal / jnp.maximum(jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-9)

@@ -66,7 +66,7 @@ def crba(model, kin):
     Matches mj_fullM output ordering (world dof ordering) including armature.
     """
     m, h, I_O = spatial_inertia(model, kin)
-    anc_b = jnp.asarray(_body_ancestor_matrix(model))
+    anc_b = _body_ancestor_matrix(model)
 
     # composite subtree inertia for each body: sum over its subtree
     # subtree(i) = {j : anc_b[i, j] = 1}
@@ -74,7 +74,7 @@ def crba(model, kin):
     hc = anc_b @ h
     Ic = jnp.einsum("ij,jkl->ikl", anc_b, I_O)
 
-    dof_body = jnp.asarray(model.dof_bodyid, dtype=jnp.int32)
+    dof_body = np.asarray(model.dof_bodyid, dtype=np.int32)  # static index
     F_ang, F_lin = _imul(mc[dof_body], hc[dof_body], Ic[dof_body], kin.sdof_ang, kin.sdof_lin)
 
     # A[e, d] = S_e . F_d — one (nv,3)x(3,nv) pair of matmuls
@@ -94,7 +94,7 @@ def rnea_bias(model, kin, qvel):
     controllers/parts/controller.py:303-311).
     """
     m, h, I_O = spatial_inertia(model, kin)
-    anc_b = jnp.asarray(_body_ancestor_matrix(model))
+    anc_b = _body_ancestor_matrix(model)
 
     # body spatial velocities (origin-referenced)
     sq_ang = kin.sdof_ang * qvel[:, None]
@@ -104,7 +104,7 @@ def rnea_bias(model, kin, qvel):
 
     # sdof rate of change: crossMotion(v_body(d), S_d); own-dof terms vanish.
     # Free-joint translation dofs have world-fixed axes -> Sdot = 0.
-    dof_body = jnp.asarray(model.dof_bodyid, dtype=jnp.int32)
+    dof_body = np.asarray(model.dof_bodyid, dtype=np.int32)  # static index
     vb_ang, vb_lin = v_ang[dof_body], v_lin[dof_body]
     sdot_ang = jnp.cross(vb_ang, kin.sdof_ang)
     sdot_lin = jnp.cross(vb_ang, kin.sdof_lin) + jnp.cross(vb_lin, kin.sdof_ang)

@@ -18,6 +18,7 @@ Design notes (TPU-first):
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from robosuite_tpu.models import spec as S
 from robosuite_tpu.physics.state import KinData
@@ -97,12 +98,12 @@ def fk(model, qpos) -> KinData:
     xipos = xpos + jnp.einsum("bij,bj->bi", xmat, model.body_ipos)
     ximat = T.quat2mat_wxyz(T.quat_mul_wxyz(xquat, model.body_iquat))
 
-    gb = jnp.asarray(model.geom_bodyid, dtype=jnp.int32)
+    gb = np.asarray(model.geom_bodyid, dtype=np.int32)
     geom_xpos = xpos[gb] + jnp.einsum("gij,gj->gi", xmat[gb], model.geom_pos)
     geom_xmat = T.quat2mat_wxyz(T.quat_mul_wxyz(xquat[gb], model.geom_quat))
 
     if model.nsite:
-        sb = jnp.asarray(model.site_bodyid, dtype=jnp.int32)
+        sb = np.asarray(model.site_bodyid, dtype=np.int32)
         site_xpos = xpos[sb] + jnp.einsum("sij,sj->si", xmat[sb], model.site_pos)
         site_xmat = T.quat2mat_wxyz(T.quat_mul_wxyz(xquat[sb], model.site_quat))
     else:
