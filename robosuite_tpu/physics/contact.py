@@ -38,7 +38,7 @@ _PAIR_POINTS = {
     (S.PLANE, S.SPHERE): 1,
     (S.PLANE, S.CAPSULE): 2,
     (S.PLANE, S.CYLINDER): 3,
-    (S.PLANE, S.BOX): 4,
+    (S.PLANE, S.BOX): 8,
     (S.SPHERE, S.SPHERE): 1,
     (S.SPHERE, S.CAPSULE): 1,
     (S.SPHERE, S.CYLINDER): 1,
@@ -48,7 +48,7 @@ _PAIR_POINTS = {
     (S.CAPSULE, S.BOX): 2,
     (S.CYLINDER, S.CYLINDER): 1,
     (S.CYLINDER, S.BOX): 2,
-    (S.BOX, S.BOX): 8,
+    (S.BOX, S.BOX): 16,
 }
 
 
@@ -104,18 +104,17 @@ def _plane_cylinder(p1, R1, s1, p2, R2, s2):
 
 
 def _plane_box(p1, R1, s1, p2, R2, s2):
+    # all 8 corners tested (no top-k selection: discontinuous contact-point
+    # switching between steps injects torque jitter at rest)
     n = R1[:, 2]
     corners = jnp.array(
         [[sx, sy, sz] for sx in (-1.0, 1.0) for sy in (-1.0, 1.0) for sz in (-1.0, 1.0)],
     )
     pts = p2[None, :] + (corners * s2[None, :]) @ R2.T  # (8, 3)
     d = (pts - p1[None, :]) @ n  # (8,)
-    # keep the 4 deepest corners (static top-4 via sort)
-    idx = jnp.argsort(d)[:4]
-    d4 = d[idx]
-    pos = pts[idx] - n[None, :] * 0.5 * d4[:, None]
-    nrm = jnp.broadcast_to(n, (4, 3))
-    return d4, pos, nrm
+    pos = pts - n[None, :] * 0.5 * d[:, None]
+    nrm = jnp.broadcast_to(n, (8, 3))
+    return d, pos, nrm
 
 
 def _sphere_sphere(p1, R1, s1, p2, R2, s2):
@@ -172,17 +171,25 @@ def _capsule_capsule(p1, R1, s1, p2, R2, s2):
 
 
 def _point_box_dist(p_local, half):
-    """Signed distance + outward normal (local frame) from box surface to a point."""
+    """Signed distance + outward normal (local frame) from box surface to a point.
+
+    The inside-branch normal is a softmax blend over the three face depths
+    instead of a hard argmax: at box edges the nearest-face choice flickers
+    between steps and injects lateral impulse spikes (observed as boxes
+    "squirting" sideways on impact).
+    """
     q = jnp.abs(p_local) - half
     outside = jnp.maximum(q, 0.0)
     d_out = jnp.linalg.norm(outside)
     d_in = jnp.max(q)  # negative inside
     inside = d_out < 1e-9
     d = jnp.where(inside, d_in, d_out)
-    # normal: outside -> gradient of distance; inside -> axis of max q
+    # normal: outside -> gradient of distance; inside -> smooth blend of the
+    # shallowest faces (temperature ~2mm)
     n_out = jnp.sign(p_local) * outside / jnp.maximum(d_out, 1e-9)
-    ax = jnp.argmax(q)
-    n_in = jnp.sign(p_local) * (jnp.arange(3) == ax)
+    w = jax.nn.softmax(q / 2e-3)
+    n_in_raw = jnp.sign(p_local) * w
+    n_in = n_in_raw / jnp.maximum(jnp.linalg.norm(n_in_raw), 1e-9)
     n = jnp.where(inside, n_in, n_out)
     return d, n
 
@@ -231,10 +238,10 @@ def _box_box(p1, R1, s1, p2, R2, s2):
     d2, n2 = jax.vmap(_point_box_dist, in_axes=(0, None))(pl2, s1)
     nw2 = jnp.einsum("ij,nj->ni", R1, n2)
     pos2 = pts2 + (-nw2) * 0.5 * d2[:, None]
-    idx2 = jnp.argsort(d2)[:4]
-    d = jnp.concatenate([d1[jnp.argsort(d1)[:4]], d2[idx2]])
-    pos = jnp.concatenate([pos1[jnp.argsort(d1)[:4]], pos2[idx2]])
-    nrm = jnp.concatenate([nw1[jnp.argsort(d1)[:4]], nw2[idx2]])
+    # all 16 candidates kept (continuity > buffer size; see _plane_box note)
+    d = jnp.concatenate([d1, d2])
+    pos = jnp.concatenate([pos1, pos2])
+    nrm = jnp.concatenate([nw1, nw2])
     return d, pos, nrm
 
 
@@ -383,9 +390,11 @@ def contact_forces(model, kin, con, M, qvel, qacc_smooth, dt):
     b = 2.0 / (dmax * timeconst)
 
     vel = (J @ qvel).reshape(nc, 3)  # contact-frame velocity
-    # aref = -b * rdot - k * r with r = signed distance (= -pen when violating)
+    # aref = -b * rdot - k * r with r = signed distance (= -pen when violating);
+    # friction rows carry the damping term only (MuJoCo semantics) so the
+    # solver drives tangential slip velocity toward zero within the cone
     aref_n = -b * vel[:, 0] + k * pen
-    aref = jnp.stack([aref_n, jnp.zeros_like(aref_n), jnp.zeros_like(aref_n)], axis=-1)
+    aref = jnp.stack([aref_n, -b * vel[:, 1], -b * vel[:, 2]], axis=-1)
 
     # unconstrained contact-frame acceleration (excluding Jdot qdot, which is
     # second-order at dt=2ms and absorbed by the damping term)
@@ -409,33 +418,47 @@ def contact_forces(model, kin, con, M, qvel, qacc_smooth, dt):
 
     mu = con["friction"][:, 0]
 
-    # batched 3x3 diagonal block inverses
-    blocks = Areg.reshape(nc, 3, nc, 3)
-    diag_blocks = blocks[jnp.arange(nc), :, jnp.arange(nc), :]  # (nc, 3, 3)
-    inv_blocks = jnp.linalg.inv(diag_blocks)
+    def project(f3):
+        """Friction-cone projection, batched over contacts (nc, 3)."""
+        fn = jnp.maximum(f3[:, 0], 0.0)
+        ft = f3[:, 1:]
+        tnorm = jnp.linalg.norm(ft, axis=-1)
+        scale = jnp.minimum(1.0, mu * fn / jnp.maximum(tnorm, 1e-9))
+        return jnp.concatenate([fn[:, None], ft * scale[:, None]], axis=-1)
 
-    def project(fi, mu_i):
-        fn = jnp.maximum(fi[0], 0.0)
-        ft = fi[1:]
-        tnorm = jnp.linalg.norm(ft)
-        scale = jnp.minimum(1.0, mu_i * fn / jnp.maximum(tnorm, 1e-9))
-        return jnp.concatenate([fn[None], ft * scale])
+    active_f = active.astype(qvel.dtype)[:, None]
 
-    active_f = active.astype(qvel.dtype)
+    # APGD (Nesterov-accelerated projected gradient) on the cone QP
+    #   min 1/2 f^T Areg f - f^T rhs   s.t. f in friction cone
+    # Fully parallel per iteration (serial depth ~ n_iter, unlike
+    # Gauss-Seidel) and convergent where block-Jacobi diverges on strongly
+    # coupled stacks. Step size 1/L with L from a few power iterations.
+    def matvec(f3):
+        return (Areg @ f3.reshape(-1)).reshape(nc, 3)
 
-    def gs_contact(i, f):
-        blk = jax.lax.dynamic_slice(Areg, (3 * i, 0), (3, nc * 3))  # (3, 3nc)
-        fi_old = jax.lax.dynamic_slice(f, (3 * i,), (3,))
-        Aii = jax.lax.dynamic_slice(blocks.reshape(nc, 3, nc * 3), (i, 0, 3 * i), (1, 3, 3))[0]
-        resid = jax.lax.dynamic_slice(rhs, (3 * i,), (3,)) - blk @ f + Aii @ fi_old
-        fi = inv_blocks[i] @ resid
-        fi = project(fi, mu[i]) * active_f[i]
-        return jax.lax.dynamic_update_slice(f, fi, (3 * i,))
+    # power iteration for the Lipschitz constant
+    def power_body(_, v):
+        w = matvec(v)
+        return w / jnp.maximum(jnp.linalg.norm(w), 1e-9)
 
-    def gs_sweep(_, f):
-        return jax.lax.fori_loop(0, nc, gs_contact, f)
+    v0 = jnp.ones((nc, 3), dtype=qvel.dtype)
+    v0 = v0 / jnp.maximum(jnp.linalg.norm(v0), 1e-9)
+    v = jax.lax.fori_loop(0, 8, power_body, v0)
+    L = jnp.maximum(jnp.sum(v * matvec(v)), 1e-6)
+    inv_L = 1.0 / (1.1 * L)
 
-    f = jax.lax.fori_loop(0, 10, gs_sweep, jnp.zeros(nc * 3, dtype=qvel.dtype))
+    rhs3 = rhs.reshape(nc, 3)
 
-    qfrc = Jf.T @ f
+    def apgd_iter(_, carry):
+        f, y, t = carry
+        g = matvec(y) - rhs3
+        f_new = project(y - inv_L * g) * active_f
+        t_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
+        y_new = f_new + ((t - 1.0) / t_new) * (f_new - f)
+        return f_new, y_new, t_new
+
+    f0 = jnp.zeros((nc, 3), dtype=qvel.dtype)
+    f, _, _ = jax.lax.fori_loop(0, 40, apgd_iter, (f0, f0, jnp.asarray(1.0, dtype=qvel.dtype)))
+
+    qfrc = Jf.T @ f.reshape(-1)
     return qfrc
