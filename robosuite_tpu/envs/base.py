@@ -65,6 +65,7 @@ class EnvState:
     ctrl: RobotCtrlState
     t: Any          # policy step count
     rng: Any        # jax PRNG key
+    task_state: Any = None  # per-env extra state (e.g. Wipe's wiped markers)
 
 
 class RobotEnv:

@@ -31,6 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from robosuite_tpu.models import spec as S
+from robosuite_tpu.ops import linalg as fastla
 
 # max contact points contributed per candidate pair, by (type1, type2) with
 # type1 <= type2 (mujoco geom type codes)
@@ -346,13 +347,16 @@ def _impedance(solimp, x):
     return d0 + y * (dmax - d0)
 
 
-def contact_forces(model, kin, con, M, qvel, qacc_smooth, dt):
+def contact_forces(model, kin, con, Lm, qvel, qacc_smooth, dt):
     """Solve for contact forces; return qfrc_contact (nv,).
 
     Implements the MuJoCo-style soft-constraint dual problem:
-      A = J M^-1 J^T,  R = diag((1-d)/d * A_ii / impratio-scaling)
+      A = J M^-1 J^T,  R = diag((1-d)/d * A_ii, friction rows / impratio)
       aref = -b * (J qvel) - k * dist          (per solref/solimp)
-      solve (A + R) f = aref - a0,  f in friction cone (projected block GS)
+      solve (A + R) f = aref - a0 with f in the friction cone via APGD.
+
+    Lm is the Cholesky factor of the mass matrix (shared with the
+    integrator).
     """
     if con is None:
         return jnp.zeros(model.nv, dtype=qvel.dtype)
@@ -374,10 +378,9 @@ def contact_forces(model, kin, con, M, qvel, qacc_smooth, dt):
     pen = -(con["dist"] - con["margin"])  # > 0 when violating
     active = pen > 0.0
 
-    # A = J M^-1 J^T (3nc x 3nc), via Cholesky solve
+    # A = J M^-1 J^T (3nc x 3nc), via the shared Cholesky factor
     Jf = J.reshape(nc * 3, nv)
-    L = jax.scipy.linalg.cho_factor(M)
-    MinvJT = jax.scipy.linalg.cho_solve(L, Jf.T)  # (nv, 3nc)
+    MinvJT = fastla.chol_solve(Lm, Jf.T)  # (nv, 3nc)
     A = Jf @ MinvJT  # (3nc, 3nc)
 
     # impedance + solref dynamics

@@ -22,6 +22,7 @@ from robosuite_tpu.models import spec as S
 from robosuite_tpu.physics import contact as contact_mod
 from robosuite_tpu.physics import dynamics, kinematics
 from robosuite_tpu.physics.state import State
+from robosuite_tpu.ops import linalg as fastla
 
 
 def actuator_forces(model, qpos, qvel, ctrl):
@@ -88,7 +89,7 @@ def forward(model, state: State, ctrl):
     M = dynamics.crba(model, kin)
     bias = dynamics.rnea_bias(model, kin, state.qvel)
     qfrc = _total_smooth_force(model, state, ctrl, kin, bias)
-    qacc = jnp.linalg.solve(M, qfrc)
+    qacc = fastla.solve_spd(M, qfrc)
     return kin, M, bias, qacc
 
 
@@ -118,12 +119,13 @@ def integrate(model, state: State, ctrl, kin, M, bias) -> State:
     qfrc_smooth = _total_smooth_force(model, state, ctrl, kin, bias)
 
     Mh = M + dt * jnp.diag(model.dof_damping)
-    qacc_smooth = jnp.linalg.solve(M, qfrc_smooth - model.dof_damping * state.qvel)
+    Lm = fastla.chol_factor(M)
+    qacc_smooth = fastla.chol_solve(Lm, qfrc_smooth - model.dof_damping * state.qvel)
     con = contact_mod.narrowphase(model, kin)
-    qfrc_con = contact_mod.contact_forces(model, kin, con, M, state.qvel, qacc_smooth, dt)
+    qfrc_con = contact_mod.contact_forces(model, kin, con, Lm, state.qvel, qacc_smooth, dt)
 
     rhs = qfrc_smooth + qfrc_con
-    qvel_new = state.qvel + dt * jnp.linalg.solve(Mh, rhs - model.dof_damping * state.qvel)
+    qvel_new = state.qvel + dt * fastla.solve_spd(Mh, rhs - model.dof_damping * state.qvel)
     qpos_new = _integrate_qpos(model, state.qpos, qvel_new, dt)
     return State(qpos=qpos_new, qvel=qvel_new, time=state.time + dt)
 

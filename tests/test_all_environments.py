@@ -14,10 +14,11 @@ import robosuite_tpu
 @pytest.mark.parametrize("env_name", list(robosuite_tpu.ALL_ENVIRONMENTS))
 def test_env_constructs(env_name):
     kwargs = {"cube_size": [0.021, 0.021, 0.021]} if env_name == "Lift" else {}
-    env = robosuite_tpu.make(env_name, robots="Panda", **kwargs)
+    robots = ("Panda", "Panda") if env_name.startswith("TwoArm") else "Panda"
+    env = robosuite_tpu.make(env_name, robots=robots, **kwargs)
     m = env.model
-    assert env.action_dim >= 7
-    assert m.nq > 7 and m.nv > 7
+    assert env.action_dim >= 6  # Wipe (no gripper dof) is 6
+    assert m.nq >= 7 and m.nv >= 7
     assert m.npair > 0
     # actuators resolve to valid joints
     for j in m.actuator_jntid:
