@@ -1,0 +1,116 @@
+"""Controller factories + config resolution.
+
+Re-derivation of reference controllers/parts/controller_factory.py:73-159 and
+composite/composite_controller_factory.py:73-140: resolve a controller config
+(name, dict, or None) into the per-arm config dataclasses consumed by the
+runtime robot layer. Search order mirrors the reference: explicit dict >
+named controller type > per-robot default > BASIC defaults.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Union
+
+from robosuite_tpu.controllers.parts import joint_pos as jp_mod
+from robosuite_tpu.controllers.parts import joint_tor as jt_mod
+from robosuite_tpu.controllers.parts import joint_vel as jv_mod
+from robosuite_tpu.controllers.parts import osc as osc_mod
+
+ALL_PART_CONTROLLERS = {
+    "OSC_POSE",
+    "OSC_POSITION",
+    "JOINT_POSITION",
+    "JOINT_VELOCITY",
+    "JOINT_TORQUE",
+}
+
+# reference config/default/composite/basic.json arm defaults
+_OSC_DEFAULTS = dict(
+    input_max=1.0,
+    input_min=-1.0,
+    output_max=(0.05, 0.05, 0.05, 0.5, 0.5, 0.5),
+    output_min=(-0.05, -0.05, -0.05, -0.5, -0.5, -0.5),
+    kp=150.0,
+    damping_ratio=1.0,
+    impedance_mode="fixed",
+    kp_limits=(0.0, 300.0),
+    damping_ratio_limits=(0.0, 10.0),
+    input_type="delta",
+    input_ref_frame="base",
+    uncouple_pos_ori=True,
+)
+
+
+def arm_controller_config(ctrl_type: str, dim: int = 7, **overrides):
+    """Build a part-controller config dataclass (reference
+    controller_factory.py:73-142 arm_controller_factory)."""
+    t = ctrl_type.upper()
+    if t == "OSC_POSE":
+        kw = dict(_OSC_DEFAULTS)
+        kw.update(overrides)
+        kw.pop("control_ori", None)
+        return osc_mod.OSCConfig(control_ori=True, **kw)
+    if t == "OSC_POSITION":
+        kw = dict(_OSC_DEFAULTS)
+        kw["output_max"] = (0.05, 0.05, 0.05)
+        kw["output_min"] = (-0.05, -0.05, -0.05)
+        kw.update(overrides)
+        kw.pop("control_ori", None)
+        return osc_mod.OSCConfig(control_ori=False, **kw)
+    if t == "JOINT_POSITION":
+        kw = dict(dim=dim, input_max=1.0, input_min=-1.0, output_max=0.05, output_min=-0.05, kp=50.0)
+        kw.update(overrides)
+        return jp_mod.JointPosConfig(**kw)
+    if t == "JOINT_VELOCITY":
+        kw = dict(dim=dim, input_max=1.0, input_min=-1.0, output_max=1.0, output_min=-1.0, kp=0.25)
+        kw.update(overrides)
+        return jv_mod.JointVelConfig(**kw)
+    if t == "JOINT_TORQUE":
+        kw = dict(dim=dim, input_max=1.0, input_min=-1.0, output_max=0.05, output_min=-0.05)
+        kw.update(overrides)
+        return jt_mod.JointTorConfig(**kw)
+    raise ValueError(f"unknown controller type {ctrl_type!r}; known: {sorted(ALL_PART_CONTROLLERS)}")
+
+
+def load_composite_controller_config(controller: Union[None, str, dict] = None, robot: Optional[str] = None):
+    """Resolve to {arm_name: config dataclass} (reference
+    composite_controller_factory.py:73-140; BASIC composite only for now).
+
+    Accepts:
+      * None -> per-robot default (OSC_POSE with reference gains)
+      * a part-controller type name ("OSC_POSE", "JOINT_POSITION", ...)
+      * a dict {"type": "BASIC", "body_parts": {"arms": {"right": {...}}}}
+        (the reference's JSON schema)
+      * a dict {"right": <config dataclass or part dict>}
+    """
+    arms = ["right", "left"] if robot == "Baxter" else ["right"]
+    if controller is None:
+        return {arm: arm_controller_config("OSC_POSE") for arm in arms}
+    if isinstance(controller, str):
+        return {arm: arm_controller_config(controller) for arm in arms}
+    if isinstance(controller, dict):
+        if "body_parts" in controller:  # reference JSON schema
+            out = {}
+            for arm, cfg in controller["body_parts"].get("arms", {}).items():
+                cfg = dict(cfg)
+                t = cfg.pop("type")
+                cfg.pop("gripper", None)
+                cfg.pop("interpolation", None)
+                cfg.pop("ramp_ratio", None)
+                cfg.pop("position_limits", None)
+                cfg.pop("orientation_limits", None)
+                for k in ("output_max", "output_min", "kp_limits", "damping_ratio_limits"):
+                    if k in cfg and isinstance(cfg[k], list):
+                        cfg[k] = tuple(cfg[k])
+                out[arm] = arm_controller_config(t, **cfg)
+            return out
+        # {arm: config}
+        out = {}
+        for arm, cfg in controller.items():
+            if isinstance(cfg, dict):
+                t = cfg.pop("type")
+                out[arm] = arm_controller_config(t, **cfg)
+            else:
+                out[arm] = cfg
+        return out
+    raise ValueError(f"cannot interpret controller config: {controller!r}")

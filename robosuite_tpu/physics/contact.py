@@ -378,10 +378,13 @@ def contact_forces(model, kin, con, Lm, qvel, qacc_smooth, dt):
     pen = -(con["dist"] - con["margin"])  # > 0 when violating
     active = pen > 0.0
 
-    # A = J M^-1 J^T (3nc x 3nc), via the shared Cholesky factor
+    # MATRIX-FREE operator: A x = Jf (M^-1 Jf^T) x. The dense (3nc x 3nc)
+    # A does not fit the memory budget once batched (e.g. 256 x 700 x 700
+    # floats = 500 MB, re-read every APGD iteration -> HBM-bound); keeping
+    # only Jf and MinvJT (3nc x nv each) makes every matvec two skinny
+    # matmuls.
     Jf = J.reshape(nc * 3, nv)
     MinvJT = fastla.chol_solve(Lm, Jf.T)  # (nv, 3nc)
-    A = Jf @ MinvJT  # (3nc, 3nc)
 
     # impedance + solref dynamics
     d = _impedance(con["solimp"], pen)  # (nc,)
@@ -404,8 +407,7 @@ def contact_forces(model, kin, con, Lm, qvel, qacc_smooth, dt):
     a0 = (Jf @ qacc_smooth).reshape(nc, 3)
 
     # regularizer: R_i = (1-d)/d * diag(A); friction rows scaled by impratio
-    diagA = jnp.diagonal(A).reshape(nc, 3)
-    mean_diag = jnp.mean(diagA[:, 0])
+    diagA = jnp.sum(Jf * MinvJT.T, axis=-1).reshape(nc, 3)
     reg_base = (1.0 - d) / d
     R = jnp.stack(
         [
@@ -415,9 +417,9 @@ def contact_forces(model, kin, con, Lm, qvel, qacc_smooth, dt):
         ],
         axis=-1,
     )
+    Rflat = R.reshape(nc * 3)
 
     rhs = (aref - a0).reshape(nc * 3)
-    Areg = A + jnp.diag(R.reshape(-1))
 
     mu = con["friction"][:, 0]
 
@@ -432,12 +434,14 @@ def contact_forces(model, kin, con, Lm, qvel, qacc_smooth, dt):
     active_f = active.astype(qvel.dtype)[:, None]
 
     # APGD (Nesterov-accelerated projected gradient) on the cone QP
-    #   min 1/2 f^T Areg f - f^T rhs   s.t. f in friction cone
+    #   min 1/2 f^T (A + R) f - f^T rhs   s.t. f in friction cone
     # Fully parallel per iteration (serial depth ~ n_iter, unlike
     # Gauss-Seidel) and convergent where block-Jacobi diverges on strongly
     # coupled stacks. Step size 1/L with L from a few power iterations.
     def matvec(f3):
-        return (Areg @ f3.reshape(-1)).reshape(nc, 3)
+        x = f3.reshape(-1)
+        Ax = Jf @ (MinvJT @ x)
+        return (Ax + Rflat * x).reshape(nc, 3)
 
     # power iteration for the Lipschitz constant
     def power_body(_, v):

@@ -98,8 +98,15 @@ class FixedBaseRobot:
         }
 
         # --- controllers ------------------------------------------------------
-        if controller_config is None:
-            controller_config = {arm: osc_mod.OSCConfig() for arm in self.arms}
+        if controller_config is None or isinstance(controller_config, (str, dict)) and not (
+            isinstance(controller_config, dict) and all(hasattr(v, "control_dim") for v in controller_config.values())
+        ):
+            from robosuite_tpu.controllers.factory import load_composite_controller_config
+
+            controller_config = load_composite_controller_config(
+                controller_config, robot=type(robot_model).__name__
+            )
+            controller_config = {arm: controller_config[arm] for arm in self.arms}
         self.arm_cfg = controller_config
         self.grip_cfg = {
             arm: grip_mod.GripConfig(dim=len(self.gripper_actuator_ids[arm]))
