@@ -252,9 +252,9 @@ class RobotEnv:
             i += r.action_dim
         return out
 
-    def _step_impl(self, state: EnvState, action):
+    def _step_impl(self, state: EnvState, action, model=None):
         action = jnp.clip(action, -1.0, 1.0)
-        model = self.model
+        model = self.model if model is None else model
         physics = state.physics
 
         # policy-rate: set goals with the current state (reference
@@ -286,11 +286,11 @@ class RobotEnv:
         new_state = EnvState(physics=physics, ctrl=packed, t=t, rng=state.rng)
         return new_state, obs, reward, done, {}
 
-    def _rollout_impl(self, state: EnvState, action):
+    def _rollout_impl(self, state: EnvState, action, model=None):
         """Lean policy step for planners: no observation dict, returns
         (new_state, reward). Same physics/controller path as _step_impl."""
         action = jnp.clip(action, -1.0, 1.0)
-        model = self.model
+        model = self.model if model is None else model
         physics = state.physics
         kin, M, bias = engine.forward_products(model, physics)
         ctrl_states = self._unpack_ctrl(state.ctrl)

@@ -1,3 +1,4 @@
 from robosuite_tpu.wrappers.wrapper import Wrapper  # noqa: F401
 from robosuite_tpu.wrappers.gym_wrapper import GymWrapper  # noqa: F401
 from robosuite_tpu.wrappers.data_collection_wrapper import DataCollectionWrapper  # noqa: F401
+from robosuite_tpu.wrappers.domain_randomization_wrapper import DomainRandomizationWrapper  # noqa: F401
