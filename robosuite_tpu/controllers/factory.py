@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from typing import Dict, Optional, Union
 
+from robosuite_tpu.controllers.parts import ik as ik_mod
 from robosuite_tpu.controllers.parts import joint_pos as jp_mod
 from robosuite_tpu.controllers.parts import joint_tor as jt_mod
 from robosuite_tpu.controllers.parts import joint_vel as jv_mod
@@ -22,6 +23,7 @@ ALL_PART_CONTROLLERS = {
     "JOINT_POSITION",
     "JOINT_VELOCITY",
     "JOINT_TORQUE",
+    "IK_POSE",
 }
 
 # reference config/default/composite/basic.json arm defaults
@@ -65,6 +67,10 @@ def arm_controller_config(ctrl_type: str, dim: int = 7, **overrides):
         kw = dict(dim=dim, input_max=1.0, input_min=-1.0, output_max=1.0, output_min=-1.0, kp=0.25)
         kw.update(overrides)
         return jv_mod.JointVelConfig(**kw)
+    if t == "IK_POSE":
+        kw = dict(dim=dim)
+        kw.update(overrides)
+        return ik_mod.IKConfig(**kw)
     if t == "JOINT_TORQUE":
         kw = dict(dim=dim, input_max=1.0, input_min=-1.0, output_max=0.05, output_min=-0.05)
         kw.update(overrides)

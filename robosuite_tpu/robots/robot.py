@@ -24,9 +24,19 @@ from flax import struct
 
 from robosuite_tpu.controllers.base import ArmView
 from robosuite_tpu.controllers.parts import gripper as grip_mod
+from robosuite_tpu.controllers.parts import ik as ik_mod
 from robosuite_tpu.controllers.parts import joint_pos as jp_mod
+from robosuite_tpu.controllers.parts import joint_tor as jt_mod
+from robosuite_tpu.controllers.parts import joint_vel as jv_mod
 from robosuite_tpu.controllers.parts import osc as osc_mod
 from robosuite_tpu.physics import dynamics, kinematics
+
+# config class -> controller module (init_state/set_goal/run)
+_CTRL_DISPATCH = {
+    osc_mod.OSCConfig: osc_mod,
+    jp_mod.JointPosConfig: jp_mod,
+    ik_mod.IKConfig: ik_mod,
+}
 
 
 @struct.dataclass
@@ -119,6 +129,16 @@ class FixedBaseRobot:
             arm: jnp.asarray(iq[i * n_per : (i + 1) * n_per]) for i, arm in enumerate(self.arms)
         }
 
+    def _ctrl_mod(self, cfg):
+        for klass, mod in _CTRL_DISPATCH.items():
+            if isinstance(cfg, klass):
+                return mod
+        if isinstance(cfg, jv_mod.JointVelConfig):
+            return jv_mod
+        if isinstance(cfg, jt_mod.JointTorConfig):
+            return jt_mod
+        raise TypeError(f"no controller module for config {type(cfg)}")
+
     # -- action vector layout (reference composite_controller.py:86-95) -------
     @property
     def action_dim(self) -> int:
@@ -178,10 +198,13 @@ class FixedBaseRobot:
         for arm in self.arms:
             view = self.arm_view(kin, M, bias, qpos, qvel, arm)
             cfg = self.arm_cfg[arm]
-            if isinstance(cfg, osc_mod.OSCConfig):
-                arm_states[arm] = osc_mod.init_state(cfg, view)
+            mod = self._ctrl_mod(cfg)
+            if mod in (jt_mod,):
+                arm_states[arm] = mod.init_state(cfg)
+            elif mod is jv_mod:
+                arm_states[arm] = mod.init_state(cfg, view)
             else:
-                arm_states[arm] = jp_mod.init_state(cfg, view)
+                arm_states[arm] = mod.init_state(cfg, view)
             n_act = len(self.gripper_actuator_ids[arm])
             grip_actions[arm] = jnp.zeros(max(n_act, 1))
         return RobotCtrlState(arm=arm_states, gripper_action=grip_actions)
@@ -195,10 +218,12 @@ class FixedBaseRobot:
             arm_a, grip_a = split[arm]
             view = self.arm_view(kin, M, bias, qpos, qvel, arm)
             cfg = self.arm_cfg[arm]
-            if isinstance(cfg, osc_mod.OSCConfig):
-                new_arm[arm] = osc_mod.set_goal(cfg, ctrl_state.arm[arm], view, arm_a)
+            mod = self._ctrl_mod(cfg)
+            if mod is jt_mod:
+                lo, hi = self.torque_limits[arm]
+                new_arm[arm] = mod.set_goal(cfg, ctrl_state.arm[arm], arm_a, jnp.asarray(lo), jnp.asarray(hi))
             else:
-                new_arm[arm] = jp_mod.set_goal(cfg, ctrl_state.arm[arm], view, arm_a)
+                new_arm[arm] = mod.set_goal(cfg, ctrl_state.arm[arm], view, arm_a)
             if arm in self.rm.grippers and self.rm.grippers[arm].dof > 0:
                 # reference gripper format_action ramp (panda_gripper.py:42-55)
                 grip = self.rm.grippers[arm]
@@ -218,10 +243,12 @@ class FixedBaseRobot:
         for arm in self.arms:
             view = self.arm_view(kin, M, bias, qpos, qvel, arm)
             cfg = self.arm_cfg[arm]
-            if isinstance(cfg, osc_mod.OSCConfig):
-                tau = osc_mod.run(cfg, ctrl_state.arm[arm], view)
+            mod = self._ctrl_mod(cfg)
+            if mod is jv_mod:
+                lo, hi = self.torque_limits[arm]
+                tau, _ = mod.run(cfg, ctrl_state.arm[arm], view, jnp.asarray(lo), jnp.asarray(hi))
             else:
-                tau = jp_mod.run(cfg, ctrl_state.arm[arm], view)
+                tau = mod.run(cfg, ctrl_state.arm[arm], view)
             lo, hi = self.torque_limits[arm]
             tau = jnp.clip(tau, jnp.asarray(lo, dtype=tau.dtype), jnp.asarray(hi, dtype=tau.dtype))
             ctrl = ctrl.at[self.arm_actuator_ids[arm]].set(tau)

@@ -155,20 +155,19 @@ def mat2quat(rmat):
 
 
 def euler2mat(euler):
-    """Static-frame xyz euler -> rotation matrix (reference transform_utils.py:358-393).
-
-    R = Rz(az) @ Ry(ay) @ Rx(ax) for euler = (ax, ay, az).
-    """
-    ax, ay, az = euler[..., 0], euler[..., 1], euler[..., 2]
-    si, sj, sk = jnp.sin(ax), jnp.sin(ay), jnp.sin(az)
-    ci, cj, ck = jnp.cos(ax), jnp.cos(ay), jnp.cos(az)
+    """(r, p, y) euler angles -> rotation matrix, mirroring the reference's
+    exact formulation (transform_utils.py:358-391: negated reversed angles
+    filled transposed — equivalent to R = Rz(y) Ry(p) Rx(r))."""
+    ai, aj, ak = -euler[..., 2], -euler[..., 1], -euler[..., 0]
+    si, sj, sk = jnp.sin(ai), jnp.sin(aj), jnp.sin(ak)
+    ci, cj, ck = jnp.cos(ai), jnp.cos(aj), jnp.cos(ak)
     cc, cs = ci * ck, ci * sk
     sc, ss = si * ck, si * sk
     m = jnp.stack(
         [
-            cj * ck, sj * sc - cs, sj * cc + ss,
-            cj * sk, sj * ss + cc, sj * cs - sc,
-            -sj, cj * si, cj * ci,
+            cj * ci, cj * si, -sj,
+            sj * cs - sc, sj * ss + cc, cj * sk,
+            sj * cc + ss, sj * sc - cs, cj * ck,
         ],
         axis=-1,
     )
@@ -176,7 +175,11 @@ def euler2mat(euler):
 
 
 def mat2euler(rmat):
-    """Rotation matrix -> static-frame xyz euler (reference transform_utils.py:394-442)."""
+    """Rotation matrix -> 'sxyz' euler (reference transform_utils.py:394-442).
+
+    NOTE: like the reference, this is NOT the inverse of euler2mat above —
+    the pair follows the reference's (historical) conventions exactly.
+    """
     m = rmat
     cy = jnp.sqrt(m[..., 0, 0] ** 2 + m[..., 1, 0] ** 2)
     cond = cy > EPS
