@@ -17,11 +17,16 @@ from robosuite_tpu.wrappers.wrapper import Wrapper
 
 
 class DataCollectionWrapper(Wrapper):
-    def __init__(self, env, directory: str, collect_freq: int = 1, flush_freq: int = 100):
+    def __init__(self, env, directory: str, collect_freq: int = 1, flush_freq: int = 100, backend: str = "npz"):
+        """backend: "npz" (reference-compatible per-episode .npz dirs) or
+        "native" (robosuite_tpu.native.TrajectoryLog mmap files — orders of
+        magnitude faster for batched collection)."""
         super().__init__(env)
         self.directory = directory
         self.collect_freq = collect_freq
         self.flush_freq = flush_freq
+        self.backend = backend
+        self._native_log = None
         os.makedirs(directory, exist_ok=True)
 
         self.ep_directory: Optional[str] = None
@@ -40,6 +45,17 @@ class DataCollectionWrapper(Wrapper):
         t1, t2 = str(time.time()).split(".")
         self.ep_directory = os.path.join(self.directory, f"ep_{t1}_{t2}")
         os.makedirs(self.ep_directory, exist_ok=True)
+        if self.backend == "native":
+            from robosuite_tpu.native import TrajectoryLog
+
+            if self._native_log is not None:
+                self._native_log.close()
+            m = self.env.model
+            self._native_log = TrajectoryLog(
+                os.path.join(self.ep_directory, "traj.rtl"),
+                batch=1, state_dim=m.nq + m.nv, action_dim=self.env.action_dim,
+                capacity_steps=getattr(self.env, "horizon", 1000),
+            )
 
     def _flush(self):
         """reference data_collection_wrapper.py:162-209."""
@@ -68,8 +84,14 @@ class DataCollectionWrapper(Wrapper):
         self.has_interaction = True
         if self.t % self.collect_freq == 0:
             flat = np.asarray(new_state.physics.flatten())
-            self.states.append(flat)
-            self.action_infos.append({"actions": np.asarray(action)})
+            if self.backend == "native" and self._native_log is not None:
+                self._native_log.append(
+                    flat[:1][None], flat[None, 1:], np.asarray(action, dtype=np.float32)[None],
+                    np.asarray([float(result[2])], dtype=np.float32)[None],
+                )
+            else:
+                self.states.append(flat)
+                self.action_infos.append({"actions": np.asarray(action)})
         if hasattr(self.env, "_check_success"):
             pass  # success tracked by env reward; optional
         if self.t % self.flush_freq == 0:
