@@ -16,7 +16,7 @@ from robosuite_tpu import macros  # noqa: F401
 from robosuite_tpu.envs.base import ALL_ENVIRONMENTS, REGISTERED_ENVS, make  # noqa: F401
 
 # import env modules for registration side effects
-from robosuite_tpu.envs import door, lift, nut_assembly, pick_place, stack, two_arm, wipe  # noqa: F401
+from robosuite_tpu.envs import door, lift, nut_assembly, pick_place, stack, tool_hang, two_arm, two_arm_transport, wipe  # noqa: F401
 
 ALL_ROBOTS = None
 
