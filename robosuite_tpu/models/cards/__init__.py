@@ -86,4 +86,13 @@ def spec_from_card(name: str) -> S.ModelSpec:
         )
     for e in card.get("excludes", []):
         ms.excludes.append(S.ExcludeSpec(e[0], e[1]))
+    for e in card.get("equalities", []):
+        ms.equalities.append(
+            S.EqualitySpec(
+                kind=e["kind"], body1=e.get("body1"), body2=e.get("body2"),
+                joint1=e.get("joint1"), joint2=e.get("joint2"),
+                anchor=e.get("anchor", (0, 0, 0)), polycoef=e.get("polycoef", (0, 1, 0, 0, 0)),
+                solref=e.get("solref", (0.02, 1.0)),
+            )
+        )
     return ms

@@ -58,6 +58,18 @@ class GripperModel:
                 for a in ms.actuators
                 if a.joint is not None
             ]
+            import dataclasses as _dc
+
+            self._equalities = [
+                _dc.replace(
+                    e,
+                    body1=self.naming_prefix + e.body1 if e.body1 else None,
+                    body2=self.naming_prefix + e.body2 if e.body2 else None,
+                    joint1=self.naming_prefix + e.joint1 if e.joint1 else None,
+                    joint2=self.naming_prefix + e.joint2 if e.joint2 else None,
+                )
+                for e in ms.equalities
+            ]
 
     @property
     def naming_prefix(self):
@@ -101,6 +113,9 @@ class GripperModel:
 
     def actuators(self):
         return list(self._actuators)
+
+    def equalities(self):
+        return list(getattr(self, "_equalities", []))
 
     def format_action_direction(self):
         """Per-actuator sign applied to the ramped open/close command

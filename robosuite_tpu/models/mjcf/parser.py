@@ -347,4 +347,31 @@ def parse_mjcf(path_or_string, name: Optional[str] = None) -> S.ModelSpec:
         for ex in con_el.findall("exclude"):
             ms.excludes.append(S.ExcludeSpec(ex.get("body1"), ex.get("body2")))
 
+    eq_el = root.find("equality")
+    if eq_el is not None:
+        for e in eq_el:
+            if e.tag == "connect":
+                ms.equalities.append(
+                    S.EqualitySpec(
+                        kind="connect", body1=e.get("body1"), body2=e.get("body2"),
+                        anchor=_parse_floats(e.get("anchor", "0 0 0"), 3),
+                        solref=_parse_floats(e.get("solref", "0.02 1"), 2),
+                    )
+                )
+            elif e.tag == "joint":
+                ms.equalities.append(
+                    S.EqualitySpec(
+                        kind="joint", joint1=e.get("joint1"), joint2=e.get("joint2"),
+                        polycoef=np.pad(_parse_floats(e.get("polycoef", "0 1 0 0 0")), (0, 5))[:5],
+                        solref=_parse_floats(e.get("solref", "0.02 1"), 2),
+                    )
+                )
+            elif e.tag == "weld":
+                ms.equalities.append(
+                    S.EqualitySpec(
+                        kind="weld", body1=e.get("body1"), body2=e.get("body2"),
+                        solref=_parse_floats(e.get("solref", "0.02 1"), 2),
+                    )
+                )
+
     return ms

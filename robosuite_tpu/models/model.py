@@ -62,6 +62,10 @@ class Model:
     actuator_jntid: Tuple[int, ...] = _static()
     pair_geom1: Tuple[int, ...] = _static()
     pair_geom2: Tuple[int, ...] = _static()
+    neq: int = _static()
+    eq_kind: Tuple[str, ...] = _static()
+    eq_obj1: Tuple[int, ...] = _static()   # body id (connect/weld) or joint id (joint)
+    eq_obj2: Tuple[int, ...] = _static()
 
     body_names: Tuple[str, ...] = _static()
     jnt_names: Tuple[str, ...] = _static()
@@ -110,6 +114,11 @@ class Model:
     actuator_gainprm: Any = None    # (nu,) kp for position, kv for velocity
     actuator_ctrllimited: Any = None  # (nu,)
     actuator_forcelimited: Any = None # (nu,)
+
+    eq_anchor: Any = None         # (neq, 3) body1-frame anchor (connect)
+    eq_anchor2: Any = None        # (neq, 3) body2-frame anchor (compiled)
+    eq_polycoef: Any = None       # (neq, 5)
+    eq_solref: Any = None         # (neq, 2)
 
     pair_friction: Any = None     # (npair, 3)
     pair_solref: Any = None       # (npair, 2)
@@ -506,6 +515,46 @@ def compile_spec(ms: S.ModelSpec, dtype=np.float32) -> Model:
         pair_solimp[p] = si
         pair_margin[p] = mg
 
+    # equality constraints: resolve names; for connect, compile the body2-frame
+    # anchor from the default configuration (MuJoCo compiler behavior)
+    neq = len(ms.equalities)
+    eq_kind, eq_obj1, eq_obj2 = [], [], []
+    eq_anchor = np.zeros((neq, 3))
+    eq_anchor2 = np.zeros((neq, 3))
+    eq_polycoef = np.zeros((neq, 5))
+    eq_solref = np.tile(np.array([0.02, 1.0]), (neq, 1))
+    if neq:
+        # FK at qpos0 (numpy) for anchor compilation
+        xpos0 = np.zeros((nbody, 3))
+        xquat0 = np.tile(np.array([1.0, 0, 0, 0]), (nbody, 1))
+        for b in range(1, nbody):
+            p = body_parentid[b]
+            xpos0[b] = xpos0[p] + _quat2mat_np(xquat0[p]) @ bodies[b].pos
+            q = xquat0[p]
+            q2 = bodies[b].quat
+            xquat0[b] = np.array([
+                q[0]*q2[0]-q[1]*q2[1]-q[2]*q2[2]-q[3]*q2[3],
+                q[0]*q2[1]+q[1]*q2[0]+q[2]*q2[3]-q[3]*q2[2],
+                q[0]*q2[2]-q[1]*q2[3]+q[2]*q2[0]+q[3]*q2[1],
+                q[0]*q2[3]+q[1]*q2[2]-q[2]*q2[1]+q[3]*q2[0],
+            ])
+        for i, eq in enumerate(ms.equalities):
+            eq_kind.append(eq.kind)
+            eq_solref[i] = eq.solref
+            if eq.kind in ("connect", "weld"):
+                b1 = body_id[eq.body1]
+                b2 = body_id[eq.body2] if eq.body2 else 0
+                eq_obj1.append(b1)
+                eq_obj2.append(b2)
+                eq_anchor[i] = eq.anchor
+                # world anchor at qpos0 -> body2 frame
+                wa = xpos0[b1] + _quat2mat_np(xquat0[b1]) @ eq.anchor
+                eq_anchor2[i] = _quat2mat_np(xquat0[b2]).T @ (wa - xpos0[b2])
+            else:  # joint
+                eq_obj1.append(jnt_id[eq.joint1])
+                eq_obj2.append(jnt_id[eq.joint2] if eq.joint2 else -1)
+                eq_polycoef[i] = eq.polycoef
+
     # ancestor mask: dof d moves body b iff d's joint body is an ancestor of b
     ancestor_mask = np.zeros((nbody, nv))
     for b in range(1, nbody):
@@ -549,6 +598,10 @@ def compile_spec(ms: S.ModelSpec, dtype=np.float32) -> Model:
         actuator_jntid=tuple(actuator_jntid),
         pair_geom1=tuple(p[0] for p in pairs),
         pair_geom2=tuple(p[1] for p in pairs),
+        neq=neq,
+        eq_kind=tuple(eq_kind),
+        eq_obj1=tuple(eq_obj1),
+        eq_obj2=tuple(eq_obj2),
         body_names=names_of(bodies),
         jnt_names=names_of(joints),
         geom_names=names_of(geoms),
@@ -590,6 +643,10 @@ def compile_spec(ms: S.ModelSpec, dtype=np.float32) -> Model:
         actuator_gainprm=jnp_(actuator_gainprm),
         actuator_ctrllimited=jnp_(actuator_ctrllimited),
         actuator_forcelimited=jnp_(actuator_forcelimited),
+        eq_anchor=jnp_(eq_anchor),
+        eq_anchor2=jnp_(eq_anchor2),
+        eq_polycoef=jnp_(eq_polycoef),
+        eq_solref=jnp_(eq_solref),
         pair_friction=jnp_(pair_friction),
         pair_solref=jnp_(pair_solref),
         pair_solimp=jnp_(pair_solimp),

@@ -154,6 +154,9 @@ class ManipulatorModel:
         sub = gripper.root_subtree()
         eef_body.children.append(sub)
         self._actuators.extend(gripper.actuators())
+        if not hasattr(self, "_equalities"):
+            self._equalities = []
+        self._equalities.extend(gripper.equalities())
         self.grippers[arm] = gripper
 
     def set_base_xpos(self, xpos):
@@ -194,6 +197,9 @@ class ManipulatorModel:
 
     def actuators(self) -> List[S.ActuatorSpec]:
         return list(self._actuators)
+
+    def equalities(self) -> List[S.EqualitySpec]:
+        return list(getattr(self, "_equalities", []))
 
     @property
     def arm_joint_names(self) -> Dict[str, List[str]]:

@@ -327,6 +327,30 @@ class ExcludeSpec:
     body2: str
 
 
+@dataclass
+class EqualitySpec:
+    """Equality constraint (MJCF <equality>): connect | joint | weld.
+
+    connect: holds a point (anchor, body1-frame) coincident across bodies.
+    joint: couples joint1 to polycoef(joint2).
+    """
+
+    kind: str                      # connect | joint | weld
+    body1: Optional[str] = None
+    body2: Optional[str] = None
+    joint1: Optional[str] = None
+    joint2: Optional[str] = None
+    anchor: Sequence[float] = (0.0, 0.0, 0.0)
+    polycoef: Sequence[float] = (0.0, 1.0, 0.0, 0.0, 0.0)
+    solref: Sequence[float] = (0.02, 1.0)
+
+    def __post_init__(self):
+        assert self.kind in ("connect", "joint", "weld"), self.kind
+        self.anchor = _arr(self.anchor, 3)
+        self.polycoef = _arr(self.polycoef, 5)
+        self.solref = _arr(self.solref, 2)
+
+
 class ModelSpec:
     """Root of a model specification: worldbody tree + actuators + options.
 
@@ -340,6 +364,7 @@ class ModelSpec:
         self.worldbody = BodySpec(name="world")
         self.actuators: List[ActuatorSpec] = []
         self.excludes: List[ExcludeSpec] = []
+        self.equalities: List[EqualitySpec] = []
 
     # -- composition ---------------------------------------------------------
     def add_actuator(self, act: ActuatorSpec) -> ActuatorSpec:
@@ -366,6 +391,16 @@ class ModelSpec:
             if prefix:
                 ex = ExcludeSpec(prefix + ex.body1, prefix + ex.body2)
             self.excludes.append(ex)
+        for eq in other.equalities:
+            if prefix:
+                eq = dataclasses.replace(
+                    eq,
+                    body1=prefix + eq.body1 if eq.body1 else None,
+                    body2=prefix + eq.body2 if eq.body2 else None,
+                    joint1=prefix + eq.joint1 if eq.joint1 else None,
+                    joint2=prefix + eq.joint2 if eq.joint2 else None,
+                )
+            self.equalities.append(eq)
         return self
 
     def attach(self, parent_body: str, subtree: BodySpec, prefix: str = ""):

@@ -79,6 +79,8 @@ class ManipulationTask:
             ms.worldbody.children.append(robot.root_subtree())
             for a in robot.actuators():
                 ms.actuators.append(a)
+            for e in robot.equalities():
+                ms.equalities.append(e)
 
         for obj in self.objects:
             ms.worldbody.children.append(obj.get_obj())

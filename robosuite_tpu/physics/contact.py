@@ -347,7 +347,7 @@ def _impedance(solimp, x):
     return d0 + y * (dmax - d0)
 
 
-def contact_forces(model, kin, con, Lm, qvel, qacc_smooth, dt):
+def contact_forces(model, kin, con, Lm, qvel, qacc_smooth, dt, eq=None):
     """Solve for contact forces; return qfrc_contact (nv,).
 
     Implements the MuJoCo-style soft-constraint dual problem:
@@ -358,8 +358,17 @@ def contact_forces(model, kin, con, Lm, qvel, qacc_smooth, dt):
     Lm is the Cholesky factor of the mass matrix (shared with the
     integrator).
     """
-    if con is None:
+    if con is None and eq is None:
         return jnp.zeros(model.nv, dtype=qvel.dtype)
+    if con is None:
+        # equality-only system: solve bilateral rows directly
+        J_eq, aref_eq = eq
+        MinvJT = fastla.chol_solve(Lm, J_eq.T)
+        A = J_eq @ MinvJT
+        rhs = aref_eq - J_eq @ qacc_smooth
+        reg = 0.05 * jnp.maximum(jnp.diagonal(A), 1e-8)
+        f = jnp.linalg.solve(A + jnp.diag(reg), rhs)
+        return J_eq.T @ f
 
     nc_total = con["dist"].shape[0]
     nv = model.nv
@@ -443,6 +452,19 @@ def contact_forces(model, kin, con, Lm, qvel, qacc_smooth, dt):
 
     rhs = (aref - a0).reshape(nc * 3)
 
+    # bilateral equality rows appended to the system (no cone projection)
+    ne = 0
+    if eq is not None:
+        J_eq, aref_eq = eq
+        ne = J_eq.shape[0]
+        MinvJT_eq = fastla.chol_solve(Lm, J_eq.T)
+        diagA_eq = jnp.sum(J_eq * MinvJT_eq.T, axis=-1)
+        R_eq = 0.05 * jnp.maximum(diagA_eq, 1e-8)
+        Jf = jnp.concatenate([Jf, J_eq])
+        MinvJT = jnp.concatenate([MinvJT, MinvJT_eq], axis=1)
+        Rflat = jnp.concatenate([Rflat, R_eq])
+        rhs = jnp.concatenate([rhs, aref_eq - J_eq @ qacc_smooth])
+
     mu = friction[:, 0]
 
     def project(f3):
@@ -460,34 +482,38 @@ def contact_forces(model, kin, con, Lm, qvel, qacc_smooth, dt):
     # Fully parallel per iteration (serial depth ~ n_iter, unlike
     # Gauss-Seidel) and convergent where block-Jacobi diverges on strongly
     # coupled stacks. Step size 1/L with L from a few power iterations.
-    def matvec(f3):
-        x = f3.reshape(-1)
-        Ax = Jf @ (MinvJT @ x)
-        return (Ax + Rflat * x).reshape(nc, 3)
+    ntot = nc * 3 + ne
+
+    def matvec(x):
+        return Jf @ (MinvJT @ x) + Rflat * x
+
+    def project_flat(x):
+        fc = project(x[: nc * 3].reshape(nc, 3)) * active_f
+        if ne:
+            return jnp.concatenate([fc.reshape(-1), x[nc * 3 :]])
+        return fc.reshape(-1)
 
     # power iteration for the Lipschitz constant
     def power_body(_, v):
         w = matvec(v)
         return w / jnp.maximum(jnp.linalg.norm(w), 1e-9)
 
-    v0 = jnp.ones((nc, 3), dtype=qvel.dtype)
+    v0 = jnp.ones(ntot, dtype=qvel.dtype)
     v0 = v0 / jnp.maximum(jnp.linalg.norm(v0), 1e-9)
     v = jax.lax.fori_loop(0, 8, power_body, v0)
     L = jnp.maximum(jnp.sum(v * matvec(v)), 1e-6)
     inv_L = 1.0 / (1.1 * L)
 
-    rhs3 = rhs.reshape(nc, 3)
-
     def apgd_iter(_, carry):
         f, y, t = carry
-        g = matvec(y) - rhs3
-        f_new = project(y - inv_L * g) * active_f
+        g = matvec(y) - rhs
+        f_new = project_flat(y - inv_L * g)
         t_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
         y_new = f_new + ((t - 1.0) / t_new) * (f_new - f)
         return f_new, y_new, t_new
 
-    f0 = jnp.zeros((nc, 3), dtype=qvel.dtype)
+    f0 = jnp.zeros(ntot, dtype=qvel.dtype)
     f, _, _ = jax.lax.fori_loop(0, 40, apgd_iter, (f0, f0, jnp.asarray(1.0, dtype=qvel.dtype)))
 
-    qfrc = Jf.T @ f.reshape(-1)
+    qfrc = Jf.T @ f
     return qfrc

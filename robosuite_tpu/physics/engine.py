@@ -122,7 +122,10 @@ def integrate(model, state: State, ctrl, kin, M, bias) -> State:
     Lm = fastla.chol_factor(M)
     qacc_smooth = fastla.chol_solve(Lm, qfrc_smooth - model.dof_damping * state.qvel)
     con = contact_mod.narrowphase(model, kin)
-    qfrc_con = contact_mod.contact_forces(model, kin, con, Lm, state.qvel, qacc_smooth, dt)
+    from robosuite_tpu.physics.equality import equality_rows
+
+    eq = equality_rows(model, kin, state.qpos, state.qvel) if model.neq else None
+    qfrc_con = contact_mod.contact_forces(model, kin, con, Lm, state.qvel, qacc_smooth, dt, eq=eq)
 
     rhs = qfrc_smooth + qfrc_con
     qvel_new = state.qvel + dt * fastla.solve_spd(Mh, rhs - model.dof_damping * state.qvel)

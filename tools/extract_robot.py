@@ -99,6 +99,12 @@ def spec_to_card(ms: S.ModelSpec):
             for a in ms.actuators
         ],
         "excludes": [[e.body1, e.body2] for e in ms.excludes],
+        "equalities": [
+            {"kind": e.kind, "body1": e.body1, "body2": e.body2, "joint1": e.joint1,
+             "joint2": e.joint2, "anchor": _clean(e.anchor), "polycoef": _clean(e.polycoef),
+             "solref": _clean(e.solref)}
+            for e in ms.equalities
+        ],
     }
 
 
