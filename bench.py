@@ -21,7 +21,7 @@ import numpy as np
 REF_CPU_STEPS_PER_S = 67.4
 
 BATCH = 512
-N_STEPS = 10
+N_STEPS = 15
 
 
 def main():

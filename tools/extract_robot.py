@@ -117,6 +117,10 @@ ROBOTS = {
     "kinova3": "robots/kinova3/robot.xml",
     "baxter": "robots/baxter/robot.xml",
     "xarm7": "robots/xarm7/robot.xml",
+    "gr1": "robots/gr1/robot.xml",
+    "tiago": "robots/tiago/robot.xml",
+    "spot": "robots/spot/robot.xml",
+    "spot_arm": "robots/spot_arm/robot.xml",
 }
 
 GRIPPERS = {
@@ -144,6 +148,10 @@ BASES = {
     "rethink_minimal_mount": "bases/rethink_minimal_mount.xml",
     "null_mount": "bases/null_mount.xml",
     "omron_mobile_base": "bases/omron_mobile_base.xml",
+    "null_mobile_base": "bases/null_mobile_base.xml",
+    "null_base": "bases/null_base.xml",
+    "floating_legged_base": "bases/floating_legged_base.xml",
+    "no_actuation_base": "bases/no_actuation_base.xml",
 }
 
 
