@@ -1,0 +1,60 @@
+"""Composite controller: the explicit action-splitting layer.
+
+Re-derivation of reference controllers/composite/composite_controller.py
+(BASIC, :30-231): a composite controller owns the per-part controllers of
+one robot and splits the flat action vector into per-part slices
+(setup_action_split_idx :86-95), fanning out set_goal at policy rate and
+run_controller at substep rate.
+
+In the TPU stack the runtime robot layer (robosuite_tpu.robots.FixedBaseRobot)
+embodies this flow; this module provides the explicit spec object users can
+inspect/construct — the analog of REGISTERED_COMPOSITE_CONTROLLERS_DICT —
+plus the action-split bookkeeping as data.
+
+WHOLE_BODY_IK (reference :514-589) maps onto per-arm IK_POSE part
+controllers for fixed-base single/dual-arm robots (the composite IK policy
+reduces to per-arm differential IK when only arms are actuated).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Tuple
+
+from robosuite_tpu.controllers.factory import arm_controller_config
+
+REGISTERED_COMPOSITE_CONTROLLERS = ("BASIC", "WHOLE_BODY_IK")
+
+
+@dataclasses.dataclass(frozen=True)
+class CompositeControllerSpec:
+    """Static description of a robot's composite controller."""
+
+    type: str                          # BASIC | WHOLE_BODY_IK
+    arm_configs: Dict[str, object]     # arm name -> part-controller config
+    gripper_dims: Dict[str, int]       # arm name -> gripper dof
+
+    @property
+    def action_split(self) -> List[Tuple[str, str, int]]:
+        """[(part_name, kind, width)] in action-vector order
+        (reference composite_controller.py:86-95)."""
+        out = []
+        for arm, cfg in self.arm_configs.items():
+            out.append((arm, "arm", cfg.control_dim))
+            if self.gripper_dims.get(arm, 0) > 0:
+                out.append((f"{arm}_gripper", "gripper", self.gripper_dims[arm]))
+        return out
+
+    @property
+    def action_dim(self) -> int:
+        return sum(w for _, _, w in self.action_split)
+
+
+def make_composite(ctype: str = "BASIC", arms=("right",), gripper_dims=None, arm_type="OSC_POSE", **overrides):
+    """Build a CompositeControllerSpec (the composite_controller_factory
+    analog). WHOLE_BODY_IK resolves to per-arm IK_POSE."""
+    assert ctype in REGISTERED_COMPOSITE_CONTROLLERS, ctype
+    part_type = "IK_POSE" if ctype == "WHOLE_BODY_IK" else arm_type
+    arm_configs = {arm: arm_controller_config(part_type, **overrides) for arm in arms}
+    gd = gripper_dims or {arm: 1 for arm in arms}
+    return CompositeControllerSpec(type=ctype, arm_configs=arm_configs, gripper_dims=gd)
