@@ -81,9 +81,19 @@ class RobotEnv:
         reward_scale=1.0,
         reward_shaping=False,
         initialization_noise="default",
+        use_camera_obs=False,
+        camera_names=("agentview",),
+        camera_heights=84,
+        camera_widths=84,
+        camera_depths=False,
         dtype=np.float32,
     ):
         self.robot_names = [robots] if isinstance(robots, str) else list(robots)
+        self.use_camera_obs = use_camera_obs
+        self.camera_names = [camera_names] if isinstance(camera_names, str) else list(camera_names)
+        self.camera_heights = camera_heights
+        self.camera_widths = camera_widths
+        self.camera_depths = camera_depths
         self.control_freq = control_freq
         self.horizon = horizon
         self.reward_scale = reward_scale
@@ -142,6 +152,19 @@ class RobotEnv:
 
     def _get_observations(self, physics_state, kin):
         return {}
+
+    def _camera_observations(self, kin):
+        """Ray-cast camera images (reference robot_env.py:383-517 camera
+        sensors; rendered in-graph instead of via GL)."""
+        from robosuite_tpu.renderers.raycast import render_camera
+
+        obs = {}
+        for cam in self.camera_names:
+            rgb, depth = render_camera(self.model, kin, cam, self.camera_heights, self.camera_widths)
+            obs[f"{cam}_image"] = rgb
+            if self.camera_depths:
+                obs[f"{cam}_depth"] = depth
+        return obs
 
     # -- contact queries (reference manipulation_env.py:331-376 _check_grasp,
     # base.py check_contact) ---------------------------------------------------
@@ -232,6 +255,8 @@ class RobotEnv:
         ctrl_states = [r.init_ctrl_state(kin, M, bias, physics.qpos, physics.qvel) for r in self.robots]
         state = EnvState(physics=physics, ctrl=self._pack_ctrl(ctrl_states), t=jnp.asarray(0, dtype=jnp.int32), rng=rng)
         obs = self._get_observations(physics, kin)
+        if self.use_camera_obs:
+            obs.update(self._camera_observations(kin))
         return state, obs
 
     def _pack_ctrl(self, ctrl_states):
@@ -280,6 +305,8 @@ class RobotEnv:
 
         kin, _, _ = engine.forward_products(model, physics)
         obs = self._get_observations(physics, kin)
+        if self.use_camera_obs:
+            obs.update(self._camera_observations(kin))
         reward = self.reward(obs, physics, kin)
         t = state.t + 1
         done = t >= self.horizon

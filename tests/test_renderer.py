@@ -1,0 +1,59 @@
+"""Ray-cast renderer: geometry + depth sanity on a controlled scene."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from robosuite_tpu.models import spec as S
+from robosuite_tpu.physics import kinematics
+from robosuite_tpu.renderers.raycast import render_camera
+
+
+@pytest.fixture(scope="module")
+def scene():
+    ms = S.ModelSpec("scene")
+    w = ms.worldbody
+    w.add_geom(S.GeomSpec("floor", type="plane", size=(3, 3, 0.1)))
+    b = w.add_body(S.BodySpec("ball", pos=(0.0, 0.0, 0.5)))
+    b.add_geom(S.GeomSpec("ballg", type="sphere", size=(0.2,), contype=0, conaffinity=0))
+    box = w.add_body(S.BodySpec("box", pos=(0.8, 0.0, 0.3)))
+    box.add_geom(S.GeomSpec("boxg", type="box", size=(0.2, 0.2, 0.3), contype=0, conaffinity=0))
+    # camera looking down -x from x=3 toward origin (OpenCV forward = -x)
+    w.add_camera(S.CameraSpec("cam", pos=(3.0, 0.0, 0.5), quat=(0.5, 0.5, 0.5, 0.5), fovy=45.0))
+    model = ms.compile()
+    kin = jax.jit(kinematics.fk)(model, model.qpos0)
+    return model, kin
+
+
+def test_depth_and_hits(scene):
+    model, kin = scene
+    rgb, depth = jax.jit(lambda k: render_camera(model, k, "cam", 64, 64))(kin)
+    rgb, depth = np.asarray(rgb), np.asarray(depth)
+    assert rgb.shape == (64, 64, 3) and depth.shape == (64, 64)
+    assert np.isfinite(rgb).all()
+    center = depth[32, 32]
+    # camera at x=3 looking toward origin: the ball surface is at x=0.2 ->
+    # expected depth ~2.8; the box (0.6..1.0) may occlude at ~2.0 depending
+    # on the exact pixel: accept either surface
+    assert 1.8 < center < 2.9, center
+    # sky pixels at the top have zero depth
+    assert depth[0, 0] == 0.0 or depth[-1, -1] == 0.0
+    # some variety in the image (not all sky)
+    hits = (depth > 0).mean()
+    assert hits > 0.2
+
+
+def test_renderer_batches(scene):
+    model, kin = scene
+    # vmap over a batch of perturbed states
+    q = jnp.tile(model.qpos0[None], (4, 1))
+
+    def r(qp):
+        k = kinematics.fk(model, qp)
+        _, d = render_camera(model, k, "cam", 32, 32)
+        return d
+
+    depths = jax.jit(jax.vmap(r))(q)
+    assert depths.shape == (4, 32, 32)
