@@ -303,3 +303,69 @@ class XArm7Gripper(GripperModel):
 
     def format_action_direction(self):
         return np.array([1.0, -1.0])
+
+
+@register_gripper
+class RobotiqThreeFingerGripper(GripperModel):
+    """reference robotiq_three_finger_gripper.py (S-model)."""
+
+    card_name = "robotiq_three_finger_gripper"
+    dof = 1
+    speed = 0.01
+
+
+@register_gripper
+class SuctionGripper(GripperModel):
+    """reference suction gripper model (suction cup; adhesion dynamics not
+    yet modeled — geometry + mounting only)."""
+
+    card_name = "suction_gripper"
+    dof = 0
+    speed = 0.0
+
+    @property
+    def _important_sites(self):
+        return {"grip_site": "grip_site", "grip_cylinder": "grip_site_cylinder", "ee": "ft_frame"}
+
+
+@register_gripper
+class BDGripper(GripperModel):
+    """reference bd_gripper.py (Boston Dynamics gripper)."""
+
+    card_name = "bd_gripper"
+    dof = 1
+    speed = 0.2
+
+
+@register_gripper
+class InspireLeftHand(GripperModel):
+    card_name = "inspire_left_hand"
+    dof = 6
+    speed = 0.2
+
+    def __init__(self, idn=0, arm="left"):
+        super().__init__(idn=idn, arm=arm)
+
+
+@register_gripper
+class InspireRightHand(GripperModel):
+    card_name = "inspire_right_hand"
+    dof = 6
+    speed = 0.2
+
+
+@register_gripper
+class FourierLeftHand(GripperModel):
+    card_name = "fourier_left_hand"
+    dof = 6
+    speed = 0.2
+
+    def __init__(self, idn=0, arm="left"):
+        super().__init__(idn=idn, arm=arm)
+
+
+@register_gripper
+class FourierRightHand(GripperModel):
+    card_name = "fourier_right_hand"
+    dof = 6
+    speed = 0.2

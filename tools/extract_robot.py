@@ -133,6 +133,12 @@ GRIPPERS = {
     "robotiq_three_finger_gripper": "grippers/robotiq_gripper_s.xml",
     "null_gripper": "grippers/null_gripper.xml",
     "xarm7_gripper": "grippers/xarm7_gripper.xml",
+    "suction_gripper": "grippers/suction_gripper.xml",
+    "bd_gripper": "grippers/bd_gripper.xml",
+    "inspire_left_hand": "grippers/inspire_left_hand.xml",
+    "inspire_right_hand": "grippers/inspire_right_hand.xml",
+    "fourier_left_hand": "grippers/fourier_left_hand.xml",
+    "fourier_right_hand": "grippers/fourier_right_hand.xml",
 }
 
 OBJECTS = {
