@@ -513,7 +513,7 @@ def contact_forces(model, kin, con, Lm, qvel, qacc_smooth, dt, eq=None):
         return f_new, y_new, t_new
 
     f0 = jnp.zeros(ntot, dtype=qvel.dtype)
-    f, _, _ = jax.lax.fori_loop(0, 40, apgd_iter, (f0, f0, jnp.asarray(1.0, dtype=qvel.dtype)))
+    f, _, _ = jax.lax.fori_loop(0, 30, apgd_iter, (f0, f0, jnp.asarray(1.0, dtype=qvel.dtype)))
 
     qfrc = Jf.T @ f
     return qfrc
