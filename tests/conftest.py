@@ -28,3 +28,13 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(scope="session")
+def lift_env():
+    """Shared Lift env: its jitted step compiles once for the whole suite."""
+    import robosuite_tpu
+
+    return robosuite_tpu.make(
+        "Lift", robots="Panda", cube_size=[0.021, 0.021, 0.021], reward_shaping=True
+    )

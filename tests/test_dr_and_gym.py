@@ -9,29 +9,24 @@ import jax.numpy as jnp
 import robosuite_tpu
 
 
-@pytest.fixture(scope="module")
-def env():
-    return robosuite_tpu.make("Lift", robots="Panda", cube_size=[0.021, 0.021, 0.021], reward_shaping=True)
-
-
-def test_domain_randomization_changes_dynamics(env):
+def test_domain_randomization_changes_dynamics(lift_env):
     from robosuite_tpu.wrappers import DomainRandomizationWrapper
 
-    dr = DomainRandomizationWrapper(env, seed=1)
+    dr = DomainRandomizationWrapper(lift_env, seed=1)
     state, _ = dr.reset(jax.random.PRNGKey(0))
-    a = jnp.zeros(env.action_dim)
+    a = jnp.zeros(lift_env.action_dim)
     s_dr, _, r_dr, _, _ = dr.step(state, a)
-    s_plain, _, r_plain, _, _ = env.step(state, a)
+    s_plain, _, r_plain, _, _ = lift_env.step(state, a)
     # different dynamics -> different resulting states
     d = np.abs(np.asarray(s_dr.physics.qpos) - np.asarray(s_plain.physics.qpos)).max()
     assert d > 1e-6
     assert np.isfinite(np.asarray(s_dr.physics.qpos)).all()
 
 
-def test_gym_wrapper_api(env):
+def test_gym_wrapper_api(lift_env):
     from robosuite_tpu.wrappers import GymWrapper
 
-    g = GymWrapper(env)
+    g = GymWrapper(lift_env)
     obs, info = g.reset(seed=0)
     assert obs.ndim == 1 and obs.size == g.obs_dim
     obs2, reward, terminated, truncated, info = g.step(np.zeros(g.action_dim))

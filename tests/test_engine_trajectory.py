@@ -48,12 +48,16 @@ def test_zero_ctrl_substep_trajectory(setup):
         qvel=jnp.asarray(s0[1 + model.nq :], dtype=jnp.float32),
         time=jnp.asarray(0.0),
     )
-    step = jax.jit(lambda s: engine.step(model, s, jnp.zeros(model.nu)))
-    qs = [np.asarray(state.qpos)]
-    for _ in range(50):
-        state = step(state)
-        qs.append(np.asarray(state.qpos))
-    qs = np.array(qs)
+    @jax.jit
+    def roll(s):
+        def body(st, _):
+            st2 = engine.step(model, st, jnp.zeros(model.nu))
+            return st2, st2.qpos
+
+        _, qs = jax.lax.scan(body, s, None, length=50)
+        return qs
+
+    qs = np.concatenate([np.asarray(state.qpos)[None], np.asarray(roll(state))])
     ref = g["sub_qpos"]
 
     # tight parity while contact-free / early-contact

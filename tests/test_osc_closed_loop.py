@@ -15,39 +15,34 @@ import jax.numpy as jnp
 import robosuite_tpu
 
 
-@pytest.fixture(scope="module")
-def env():
-    return robosuite_tpu.make("Lift", robots="Panda", cube_size=[0.021, 0.021, 0.021])
-
-
-def test_osc_tracks_commanded_direction(env):
-    state, obs = env.reset(jax.random.PRNGKey(0))
+def test_osc_tracks_commanded_direction(lift_env):
+    state, obs = lift_env.reset(jax.random.PRNGKey(0))
     start = np.asarray(obs["robot0_eef_pos"])
-    # command +x deltas for 8 policy steps (each step caps at 5 cm)
-    a = np.zeros(env.action_dim, dtype=np.float32)
+    # command +x deltas for 5 policy steps (each step caps at 5 cm)
+    a = np.zeros(lift_env.action_dim, dtype=np.float32)
     a[0] = 1.0
-    for _ in range(8):
-        state, obs, r, d, i = env.step(state, jnp.asarray(a))
+    for _ in range(5):
+        state, obs, r, d, i = lift_env.step(state, jnp.asarray(a))
     end = np.asarray(obs["robot0_eef_pos"])
     moved = end - start
-    assert moved[0] > 0.05, moved                      # moved along +x
+    assert moved[0] > 0.03, moved                      # moved along +x
     assert abs(moved[1]) < 0.05 and abs(moved[2]) < 0.05, moved  # mostly x
     # stop commanding: holds position
     hold_start = end
     a[:] = 0.0
-    for _ in range(4):
-        state, obs, r, d, i = env.step(state, jnp.asarray(a))
+    for _ in range(3):
+        state, obs, r, d, i = lift_env.step(state, jnp.asarray(a))
     drift = np.asarray(obs["robot0_eef_pos"]) - hold_start
     assert np.linalg.norm(drift) < 0.02, drift
 
 
-def test_gripper_action_closes_fingers(env):
-    state, obs = env.reset(jax.random.PRNGKey(0))
+def test_gripper_action_closes_fingers(lift_env):
+    state, obs = lift_env.reset(jax.random.PRNGKey(0))
     open_q = np.asarray(obs["robot0_gripper_qpos"])
-    a = np.zeros(env.action_dim, dtype=np.float32)
+    a = np.zeros(lift_env.action_dim, dtype=np.float32)
     a[-1] = 1.0  # close
-    for _ in range(6):
-        state, obs, r, d, i = env.step(state, jnp.asarray(a))
+    for _ in range(4):
+        state, obs, r, d, i = lift_env.step(state, jnp.asarray(a))
     closed_q = np.asarray(obs["robot0_gripper_qpos"])
     # panda fingers: q[0] decreases toward 0, q[1] increases toward 0
     assert closed_q[0] < open_q[0] - 0.005, (open_q, closed_q)
