@@ -9,19 +9,27 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from robosuite_tpu.ops import linalg as fastla
 from robosuite_tpu.utils.transforms import orientation_error  # noqa: F401  (re-export)
 
 
-def _pinv_sym(a, rcond=1e-15):
-    """Pseudo-inverse of a symmetric PSD matrix via eigendecomposition.
+def _pinv_sym(a, ridge=1e-8):
+    """Inverse of a symmetric PSD matrix, Tikhonov-regularized.
 
-    Mirrors np.linalg.pinv's small-singular-value cutoff
-    (reference control_utils.py:74-77 "zero out small singular values").
+    The reference uses np.linalg.pinv with a small-singular-value cutoff
+    (control_utils.py:74-77). On TPU, eigh/SVD lower to slow iterative
+    loops; a ridge-regularized unrolled-Cholesky inverse is numerically
+    equivalent away from singularities (relative deviation ~ridge*cond,
+    far below the f32 noise floor of the torque-parity tolerance) and
+    stays finite *at* singularities, where pinv truncates instead —
+    both give bounded task wrenches there.
     """
-    w, v = jnp.linalg.eigh(a)
-    cutoff = rcond * jnp.max(jnp.abs(w), axis=-1, keepdims=True)
-    inv_w = jnp.where(jnp.abs(w) > cutoff, 1.0 / w, 0.0)
-    return (v * inv_w[..., None, :]) @ jnp.swapaxes(v, -1, -2)
+    n = a.shape[-1]
+    tr = jnp.einsum("...ii->...", a) / n
+    a_r = a + (ridge * tr + 1e-12)[..., None, None] * jnp.eye(n, dtype=a.dtype)
+    if n == 3:
+        return fastla.inv3(a_r)
+    return fastla.inv_spd(a_r)
 
 
 def opspace_matrices(mass_matrix, J_full, J_pos, J_ori):
@@ -29,7 +37,7 @@ def opspace_matrices(mass_matrix, J_full, J_pos, J_ori):
 
     Exact math of reference control_utils.py:43-82.
     """
-    mass_matrix_inv = jnp.linalg.inv(mass_matrix)
+    mass_matrix_inv = fastla.inv_spd(mass_matrix)
     lambda_full_inv = J_full @ mass_matrix_inv @ jnp.swapaxes(J_full, -1, -2)
     lambda_pos_inv = J_pos @ mass_matrix_inv @ jnp.swapaxes(J_pos, -1, -2)
     lambda_ori_inv = J_ori @ mass_matrix_inv @ jnp.swapaxes(J_ori, -1, -2)

@@ -16,6 +16,7 @@ from flax import struct
 
 from robosuite_tpu.controllers.base import ArmView, nums2array
 from robosuite_tpu.controllers.parts import joint_pos as jp_mod
+from robosuite_tpu.ops import linalg as fastla
 from robosuite_tpu.utils import transforms as T
 
 
@@ -56,9 +57,10 @@ def _solve_dq(cfg: IKConfig, view: ArmView, dpos, drot_aa):
     err = jnp.concatenate([dpos, drot_aa])
     n = J.shape[-1]
     JJt = J @ J.T + (cfg.ik_damping ** 2) * jnp.eye(6, dtype=J.dtype)
-    dq = J.T @ jnp.linalg.solve(JJt, err)
+    Ljj = fastla.chol_factor(JJt)
+    dq = J.T @ fastla.chol_solve(Ljj, err)
     # nullspace posture bias toward initial joints
-    JpinvJ = J.T @ jnp.linalg.solve(JJt, J)
+    JpinvJ = J.T @ fastla.chol_solve(Ljj, J)
     N = jnp.eye(n, dtype=J.dtype) - JpinvJ
     dq = dq + cfg.nullspace_gain * (N @ (view.initial_joint - view.joint_pos))
     return jnp.clip(dq, -cfg.max_dq, cfg.max_dq)

@@ -367,7 +367,7 @@ def contact_forces(model, kin, con, Lm, qvel, qacc_smooth, dt, eq=None):
         A = J_eq @ MinvJT
         rhs = aref_eq - J_eq @ qacc_smooth
         reg = 0.05 * jnp.maximum(jnp.diagonal(A), 1e-8)
-        f = jnp.linalg.solve(A + jnp.diag(reg), rhs)
+        f = fastla.solve_spd(A + jnp.diag(reg), rhs)
         return J_eq.T @ f
 
     nc_total = con["dist"].shape[0]
