@@ -272,8 +272,13 @@ def narrowphase(model, kin):
       dist, pos, frame (3x3, rows normal/t1/t2), friction (3,), solref, solimp,
       geom1/geom2 body ids (static lists), include mask from dist threshold.
     """
-    dists, poss, nrms = [], [], []
-    con_body1, con_body2, con_pair = [], [], []
+    # Group candidate pairs by (type1, type2) and run each group's kernel
+    # ONCE, vmapped over the pair axis — one vectorized SAT for all box-box
+    # pairs instead of npair unrolled copies of the graph. Grouping is
+    # static (depends only on the compiled model), so this happens at trace
+    # time; row order is group-major but all per-row metadata travels with
+    # the rows.
+    groups: dict = {}
     for k in range(model.npair):
         g1, g2 = model.pair_geom1[k], model.pair_geom2[k]
         t1, t2 = model.geom_type[g1], model.geom_type[g2]
@@ -281,22 +286,30 @@ def narrowphase(model, kin):
         if flip:
             g1, g2 = g2, g1
             t1, t2 = t2, t1
+        groups.setdefault((int(t1), int(t2)), []).append((int(g1), int(g2), int(k), flip))
+
+    dists, poss, nrms = [], [], []
+    con_body1, con_body2, con_pair = [], [], []
+    for (t1, t2), items in sorted(groups.items()):
         fn = _DISPATCH[(t1, t2)]
-        d, p, n = fn(
-            kin.geom_xpos[g1], kin.geom_xmat[g1], model.geom_size[g1],
-            kin.geom_xpos[g2], kin.geom_xmat[g2], model.geom_size[g2],
-        )
-        if flip:
-            n = -n  # keep normal pointing from pair_geom1 -> pair_geom2
-        npts = d.shape[0]
-        dists.append(d)
-        poss.append(p)
-        nrms.append(n)
-        b1 = model.geom_bodyid[model.pair_geom1[k]]
-        b2 = model.geom_bodyid[model.pair_geom2[k]]
-        con_body1 += [b1] * npts
-        con_body2 += [b2] * npts
-        con_pair += [k] * npts
+        g1s = np.array([it[0] for it in items])
+        g2s = np.array([it[1] for it in items])
+        d, p, n = jax.vmap(fn)(
+            kin.geom_xpos[g1s], kin.geom_xmat[g1s], jnp.asarray(model.geom_size)[g1s],
+            kin.geom_xpos[g2s], kin.geom_xmat[g2s], jnp.asarray(model.geom_size)[g2s],
+        )  # d: (P, npts), p/n: (P, npts, 3)
+        flip_sign = np.array([-1.0 if it[3] else 1.0 for it in items], dtype=np.float32)
+        n = n * flip_sign[:, None, None]
+        npts = d.shape[1]
+        dists.append(d.reshape(-1))
+        poss.append(p.reshape(-1, 3))
+        nrms.append(n.reshape(-1, 3))
+        for _, _, k, _ in items:
+            b1 = model.geom_bodyid[model.pair_geom1[k]]
+            b2 = model.geom_bodyid[model.pair_geom2[k]]
+            con_body1 += [b1] * npts
+            con_body2 += [b2] * npts
+            con_pair += [k] * npts
 
     if not dists:
         return None
