@@ -471,11 +471,19 @@ def compile_spec(ms: S.ModelSpec, dtype=np.float32) -> Model:
     dof_damping = np.zeros(nv)
     dof_armature = np.zeros(nv)
     dof_frictionloss = np.zeros(nv)
+    # float32 conditioning: MuJoCo runs CRBA in f64 and tolerates ~1e-8 kg*m^2
+    # finger-link inertias next to ~10 kg*m^2 arm terms; at f32 that spread
+    # (>1e8 conditioning) makes the joint-space mass matrix lose PSD-ness to
+    # rounding. An armature floor on hinge/slide dofs (exactly MuJoCo's
+    # armature semantics: adds to the M diagonal) restores PSD with
+    # negligible dynamic effect on servo-damped fingers.
+    ARMATURE_FLOOR = 1e-5
     for jid, j in enumerate(joints):
         adr = jnt_dofadr[jid]
+        floor = ARMATURE_FLOOR if j.type in ("hinge", "slide") else 0.0
         for k in range(j.nv):
             dof_damping[adr + k] = j.damping
-            dof_armature[adr + k] = j.armature
+            dof_armature[adr + k] = max(j.armature, floor)
             dof_frictionloss[adr + k] = j.frictionloss
 
     # actuators

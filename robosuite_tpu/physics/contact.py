@@ -411,49 +411,38 @@ def contact_forces(model, kin, con, Lm, qvel, qacc_smooth, dt, eq=None):
     b2 = np.asarray(con["body2"], dtype=np.int32)
     dmask_full = jnp.asarray(model.ancestor_mask[b2] - model.ancestor_mask[b1])  # (nc_total, nv)
 
-    fric_full = con["friction"]
-    cols = jnp.concatenate(
-        [
-            con["dist"][:, None],
-            con["margin"][:, None],
-            con["pos"],
-            con["normal"],
-            fric_full,
-            con["solref"],
-            con["solimp"],
-            dmask_full,
-        ],
-        axis=-1,
-    )  # (nc_total, D)
+    # column widths come from the SOURCE arrays — a hardcoded width that
+    # disagrees (e.g. 3 for the 5-wide solimp) silently shifts every later
+    # column and hands the solver a garbage dof mask
+    fields = [
+        ("dist", con["dist"][:, None]),
+        ("margin", con["margin"][:, None]),
+        ("pos", con["pos"]),
+        ("normal", con["normal"]),
+        ("friction", con["friction"]),
+        ("solref", con["solref"]),
+        ("solimp", con["solimp"]),
+        ("t1", con["t1"]),
+        ("t2", con["t2"]),
+        ("dmask", dmask_full),
+    ]
+    cols = jnp.concatenate([v for _, v in fields], axis=-1)  # (nc_total, D)
     sel_cols = onehot.T @ cols  # (K, D) — the only pass over the full buffer
+    out = {}
     i = 0
-
-    def take(n):
-        nonlocal i
-        out = sel_cols[:, i : i + n]
-        i += n
-        return out
-
-    dist = take(1)[:, 0]
-    margin = take(1)[:, 0]
-    pos = take(3)
-    normal = take(3)
-    friction = take(fric_full.shape[-1])
-    solref = take(2)
-    solimp = take(3)
-    dmask = take(model.nv)
-
-    # tangent frame built AFTER compaction (K rows, not nc_total)
-    nrm = normal / jnp.maximum(jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-9)
-    ref = jnp.where(
-        jnp.abs(nrm[:, 0:1]) < 0.5, jnp.array([[1.0, 0, 0]]), jnp.array([[0.0, 1, 0]])
-    )
-    t1 = jnp.cross(nrm, ref)
-    t1 = t1 / jnp.maximum(jnp.linalg.norm(t1, axis=-1, keepdims=True), 1e-9)
-    t2 = jnp.cross(nrm, t1)
-    normal = jnp.where(
-        jnp.linalg.norm(normal, axis=-1, keepdims=True) > 1e-9, nrm, jnp.zeros_like(nrm)
-    )
+    for name, v in fields:
+        out[name] = sel_cols[:, i : i + v.shape[-1]]
+        i += v.shape[-1]
+    dist = out["dist"][:, 0]
+    margin = out["margin"][:, 0]
+    pos = out["pos"]
+    normal = out["normal"]
+    friction = out["friction"]
+    solref = out["solref"]
+    solimp = out["solimp"]
+    t1 = out["t1"]
+    t2 = out["t2"]
+    dmask = out["dmask"]
 
     nc = K
     # contact jacobians, batched: rows (normal, t1, t2), J (nc, 3, nv)

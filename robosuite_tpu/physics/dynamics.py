@@ -31,13 +31,33 @@ def _body_ancestor_matrix(model):
     return anc
 
 
-def spatial_inertia(model, kin):
-    """Per-body (m, h, I_O) in world frame about world origin.
+def _recenter(model, kin):
+    """Shift the spatial-algebra reference point from the world origin to the
+    scene's mass centroid.
+
+    Any reference point yields the same M / bias in exact arithmetic; the
+    centroid minimizes |c| and |I_O| magnitudes, which is what keeps the
+    float32 CRBA PSD (gram-scale finger links ~1 m from the origin otherwise
+    cancel catastrophically: I ~ 1e-8 vs m|c|^2 ~ 1e-2).
+
+    Returns (c, sd_lin): recentered COM positions and dof linear subspace
+    (v_{O'} = v_O + omega x (O' - O))."""
+    m = model.body_mass
+    msum = jnp.sum(m)
+    o = jnp.sum(m[:, None] * kin.xipos, axis=0) / msum
+    sd_lin = kin.sdof_lin + jnp.cross(kin.sdof_ang, o[None, :])
+    c = kin.xipos - o[None, :]
+    return c, sd_lin
+
+
+def spatial_inertia(model, kin, c=None):
+    """Per-body (m, h, I_O) in world frame about the reference point implied
+    by `c` (COM positions relative to that point; defaults to world origin).
 
     I_O = R I_diag R^T + m (|c|^2 E - c c^T), h = m c.
     """
     m = model.body_mass  # (nbody,)
-    c = kin.xipos  # (nbody, 3)
+    c = kin.xipos if c is None else c  # (nbody, 3)
     R = kin.ximat  # (nbody, 3, 3)
     I_C = jnp.einsum("bij,bj,bkj->bik", R, model.body_inertia, R)
     cc = jnp.einsum("bi,bj->bij", c, c)
@@ -64,21 +84,49 @@ def crba(model, kin):
     """Composite-rigid-body mass matrix, (nv, nv), dense.
 
     Matches mj_fullM output ordering (world dof ordering) including armature.
+
+    Numerics: every column d is referenced at its OWN body origin p_d (any
+    reference point is exact in real arithmetic), so all intermediates are
+    entry-scaled — the analog of MuJoCo's accumulate-about-joint-frames CRBA.
+    A single global reference point makes the f32 matrix lose PSD-ness: the
+    parallel-axis terms m|c|^2 of the heavy far bodies (~1e2 kg m^2) cancel
+    against the S-projections down to entries ~1e-8 kg m^2 for gram-scale
+    finger links, 1e6x beyond f32 resolution. With per-column referencing
+    the relative error is ~1e-6 and Cholesky stays stable.
+
+    Shapes are (nv, nbody, 3) einsums — still batched matmuls for the MXU
+    under vmap, just with the body axis kept explicit instead of
+    pre-contracted.
     """
-    m, h, I_O = spatial_inertia(model, kin)
-    anc_b = _body_ancestor_matrix(model)
-
-    # composite subtree inertia for each body: sum over its subtree
-    # subtree(i) = {j : anc_b[i, j] = 1}
-    mc = anc_b @ m
-    hc = anc_b @ h
-    Ic = jnp.einsum("ij,jkl->ikl", anc_b, I_O)
-
     dof_body = np.asarray(model.dof_bodyid, dtype=np.int32)  # static index
-    F_ang, F_lin = _imul(mc[dof_body], hc[dof_body], Ic[dof_body], kin.sdof_ang, kin.sdof_lin)
+    m = model.body_mass                                       # (nb,)
+    c = kin.xipos                                             # (nb, 3) COM, world
+    R = kin.ximat
+    I_C = jnp.einsum("bij,bj,bkj->bik", R, model.body_inertia, R)  # about COM
 
-    # A[e, d] = S_e . F_d — one (nv,3)x(3,nv) pair of matmuls
-    A = kin.sdof_ang @ F_ang.T + kin.sdof_lin @ F_lin.T
+    p = kin.xpos[dof_body]                                    # (nv, 3) column anchors
+    # motion of dof d referenced at p_d: lin(p) = lin(0) + ang x p
+    s_ang = kin.sdof_ang                                      # (nv, 3)
+    s_lin_p = kin.sdof_lin + jnp.cross(s_ang, p)              # (nv, 3)
+
+    # subtree mask: sub[d, b] = 1 if dof d moves body b
+    sub = model.ancestor_mask.T                               # (nv, nb)
+
+    # per-(dof, body): COM offset from the column anchor, body-COM velocity
+    r = c[None, :, :] - p[:, None, :]                         # (nv, nb, 3)
+    v_com = s_lin_p[:, None, :] + jnp.cross(s_ang[:, None, :], r)  # (nv, nb, 3)
+
+    # momentum of body b under unit dof-d motion, referenced at p_d
+    mw = m[None, :, None] * sub[:, :, None]                   # masked body mass
+    f_lin = mw * v_com                                        # (nv, nb, 3)
+    f_ang = jnp.einsum("bij,dj->dbi", I_C, s_ang) * sub[:, :, None] + jnp.cross(r, f_lin)
+
+    F_lin = jnp.sum(f_lin, axis=1)                            # (nv, 3)
+    F_ang = jnp.sum(f_ang, axis=1)                            # (nv, 3)
+
+    # M[e, d] = ang_e . F_ang_d + lin_e(p_d) . F_lin_d
+    lin_e_pd = kin.sdof_lin[:, None, :] + jnp.cross(s_ang[:, None, :], p[None, :, :])  # (e, d, 3)
+    A = s_ang @ F_ang.T + jnp.einsum("edi,di->ed", lin_e_pd, F_lin)
 
     # M[e, d] = A[e, d] where dof e moves body(d); symmetric completion
     AM = model.ancestor_mask[dof_body, :].T  # (nv_e, nv_d): e ancestor-dof of body(d)
@@ -93,12 +141,13 @@ def rnea_bias(model, kin, qvel):
     Matches mjData.qfrc_bias (used as the reference's gravity compensation,
     controllers/parts/controller.py:303-311).
     """
-    m, h, I_O = spatial_inertia(model, kin)
+    c_rc, sd_lin = _recenter(model, kin)
+    m, h, I_O = spatial_inertia(model, kin, c=c_rc)
     anc_b = _body_ancestor_matrix(model)
 
-    # body spatial velocities (origin-referenced)
+    # body spatial velocities (centroid-referenced, see _recenter)
     sq_ang = kin.sdof_ang * qvel[:, None]
-    sq_lin = kin.sdof_lin * qvel[:, None]
+    sq_lin = sd_lin * qvel[:, None]
     v_ang = model.ancestor_mask @ sq_ang  # (nbody, 3)
     v_lin = model.ancestor_mask @ sq_lin
 
@@ -107,7 +156,7 @@ def rnea_bias(model, kin, qvel):
     dof_body = np.asarray(model.dof_bodyid, dtype=np.int32)  # static index
     vb_ang, vb_lin = v_ang[dof_body], v_lin[dof_body]
     sdot_ang = jnp.cross(vb_ang, kin.sdof_ang)
-    sdot_lin = jnp.cross(vb_ang, kin.sdof_lin) + jnp.cross(vb_lin, kin.sdof_ang)
+    sdot_lin = jnp.cross(vb_ang, sd_lin) + jnp.cross(vb_lin, kin.sdof_ang)
     fixed_axis = np.ones(model.nv, dtype=np.float32)
     for j in range(model.njnt):
         from robosuite_tpu.models import spec as S
@@ -133,7 +182,7 @@ def rnea_bias(model, kin, qvel):
     ft_ang = anc_b @ f_ang
     ft_lin = anc_b @ f_lin
     qfrc = jnp.sum(kin.sdof_ang * ft_ang[dof_body], axis=-1) + jnp.sum(
-        kin.sdof_lin * ft_lin[dof_body], axis=-1
+        sd_lin * ft_lin[dof_body], axis=-1
     )
     return qfrc
 
