@@ -78,7 +78,9 @@ def arm_controller_config(ctrl_type: str, dim: int = 7, **overrides):
     raise ValueError(f"unknown controller type {ctrl_type!r}; known: {sorted(ALL_PART_CONTROLLERS)}")
 
 
-def load_composite_controller_config(controller: Union[None, str, dict] = None, robot: Optional[str] = None):
+def load_composite_controller_config(
+    controller: Union[None, str, dict] = None, robot: Optional[str] = None, arms=None
+):
     """Resolve to {arm_name: config dataclass} (reference
     composite_controller_factory.py:73-140; BASIC composite only for now).
 
@@ -89,7 +91,9 @@ def load_composite_controller_config(controller: Union[None, str, dict] = None, 
         (the reference's JSON schema)
       * a dict {"right": <config dataclass or part dict>}
     """
-    arms = ["right", "left"] if robot == "Baxter" else ["right"]
+    if arms is None:
+        arms = ["right", "left"] if robot == "Baxter" else ["right"]
+    arms = list(arms)
     if controller is None:
         return {arm: arm_controller_config("OSC_POSE") for arm in arms}
     if isinstance(controller, str):

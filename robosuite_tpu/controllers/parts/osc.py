@@ -107,12 +107,15 @@ def init_state(cfg: OSCConfig, view: ArmView) -> OSCState:
     return OSCState(goal_pos=pos, goal_ori=ori, kp=kp, kd=kd)
 
 
-def set_goal(cfg: OSCConfig, state: OSCState, view: ArmView, action, goal_update_mode: str = "achieved") -> OSCState:
+def set_goal(cfg: OSCConfig, state: OSCState, view: ArmView, action, goal_update_mode: str = "achieved",
+             wrt_origin=None) -> OSCState:
     """reference osc.py:225-283 + compute_goal_pos/ori (:306-404).
 
     goal_update_mode: "achieved" updates relative to current eef pose,
     "desired" relative to the previous goal (composite_controller.py:258-276
-    HybridMobileBase switches between them).
+    HybridMobileBase switches between them). When the switch is RUNTIME data
+    (the hybrid composite's trailing base-mode action dim), pass `wrt_origin`
+    as a traced boolean instead: True selects the "desired" behavior.
     """
     arrs = cfg.arrays()
     kp, kd = state.kp, state.kd
@@ -141,8 +144,12 @@ def set_goal(cfg: OSCConfig, state: OSCState, view: ArmView, action, goal_update
             cur_pos, cur_ori = _eef_pose_in_origin(view)
         else:
             cur_pos, cur_ori = view.ref_pos, view.ref_ori_mat
-        base_pos = cur_pos if goal_update_mode == "achieved" else state.goal_pos
-        base_ori = cur_ori if goal_update_mode == "achieved" else state.goal_ori
+        if wrt_origin is not None:
+            base_pos = jnp.where(wrt_origin, state.goal_pos, cur_pos)
+            base_ori = jnp.where(wrt_origin, state.goal_ori, cur_ori)
+        else:
+            base_pos = cur_pos if goal_update_mode == "achieved" else state.goal_pos
+            base_ori = cur_ori if goal_update_mode == "achieved" else state.goal_ori
         goal_pos = base_pos + pos_delta
         rot_err = T.quat2mat(T.axisangle2quat(ori_delta))
         goal_ori = rot_err @ base_ori

@@ -125,7 +125,16 @@ class RobotEnv:
         cfgs = controller_configs if controller_configs is not None else [None] * len(self.robot_models)
         if not isinstance(cfgs, (list, tuple)):
             cfgs = [cfgs] * len(self.robot_models)
-        self.robots = [FixedBaseRobot(self.model, rm, cfg) for rm, cfg in zip(self.robot_models, cfgs)]
+        # reference robots/__init__.py:15-34 ROBOT_CLASS_MAPPING: wheeled and
+        # legged robots get the MobileRobot runtime (torso/head/base parts)
+        from robosuite_tpu.robots.robot import MobileRobot
+
+        self.robots = [
+            (MobileRobot if getattr(rm, "robot_kind", "fixed") in ("wheeled", "legged") else FixedBaseRobot)(
+                self.model, rm, cfg
+            )
+            for rm, cfg in zip(self.robot_models, cfgs)
+        ]
 
         self._setup_references()
 
@@ -234,8 +243,21 @@ class RobotEnv:
         for i, (robot, rm) in enumerate(zip(self.robots, self.robot_models)):
             iq = jnp.asarray(np.concatenate([np.asarray(rm.init_qpos).reshape(-1)]), dtype=qpos.dtype)
             noise = self.init_noise_mag * jax.random.normal(keys[i], iq.shape, dtype=qpos.dtype)
-            all_arm_idx = np.concatenate([robot.arm_qpos_idx[a] for a in robot.arms])
-            qpos = qpos.at[jnp.asarray(all_arm_idx)].set(iq + noise)
+            # init_qpos covers all card joints (torso+head+arms for mobile
+            # manipulators), reference robot.py:234-300
+            qpos = qpos.at[jnp.asarray(robot.init_qpos_idx)].set(iq + noise)
+            itq = rm.init_torso_qpos
+            if itq is not None and getattr(robot, "part_qpos_idx", {}).get("torso") is not None:
+                tidx = robot.part_qpos_idx["torso"]
+                base_torso = tidx[-len(np.atleast_1d(itq)):]
+                qpos = qpos.at[jnp.asarray(base_torso)].set(jnp.asarray(itq, dtype=qpos.dtype))
+            # legged bases carry their own standing pose (reference
+            # spot_base.py:26-28 Spot.init_qpos applied to base leg joints)
+            if rm.base is not None and len(np.atleast_1d(rm.base.init_qpos)) and rm.base.leg_joints:
+                ljids = [self.model.jnt_name2id(n) for n in rm.base.leg_joints]
+                lidx = np.array([self.model.jnt_qposadr[j] for j in ljids])
+                biq = np.asarray(rm.base.init_qpos, dtype=np.float64)[: len(lidx)]
+                qpos = qpos.at[jnp.asarray(lidx)].set(jnp.asarray(biq, dtype=qpos.dtype))
             for arm in robot.arms:
                 grip = rm.grippers.get(arm)
                 if grip is not None and len(robot.gripper_joint_qpos_idx[arm]):

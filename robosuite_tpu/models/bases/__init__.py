@@ -32,7 +32,7 @@ def robot_base_factory(name: str, idn=0):
 
 class RobotBaseModel:
     card_name: str = None
-    mount: bool = True
+    mount: bool = True   # False -> mobile/legged: robot is mounted ON the base
 
     def __init__(self, idn=0):
         self.idn = idn
@@ -42,6 +42,7 @@ class RobotBaseModel:
             ms = spec_from_card(self.card_name)
             assert len(ms.worldbody.children) == 1
             self._root = ms.worldbody.children[0]
+            self._customize_spec(ms)
             self._root.apply_prefix(self.naming_prefix)
             self._actuators = [
                 S.ActuatorSpec(
@@ -51,9 +52,53 @@ class RobotBaseModel:
                 for a in ms.actuators
             ]
 
+    def _customize_spec(self, ms):
+        """Hook for subclasses to edit the card spec before prefixing."""
+
     @property
     def naming_prefix(self):
-        return f"fixed_mount{self.idn}_" if self.mount else f"mobile_base{self.idn}_"
+        # reference: mount_model.py:10 "fixed_mount{}_", mobile_base_model.py:10
+        # "mobilebase{}_", leg_base_model.py:23 "leg{}_"
+        return f"fixed_mount{self.idn}_" if self.mount else f"mobilebase{self.idn}_"
+
+    # -- mobile-base metadata (empty for mounts) ------------------------------
+    @property
+    def base_joints(self) -> List[str]:
+        """Prefixed planar joints driven by the base controller
+        (mobile_robot.py:81 robot_model.base_joints)."""
+        if self.mount or self._root is None:
+            return []
+        want = ("joint_mobile_forward", "joint_mobile_side", "joint_mobile_yaw")
+        found = {j.name: j.name for b in self._root.walk() for j in b.joints}
+        return [self.naming_prefix + w for w in want if self.naming_prefix + w in found]
+
+    @property
+    def torso_joints(self) -> List[str]:
+        if self.mount or self._root is None:
+            return []
+        # after mounting, the robot subtree hangs under this root — only count
+        # joints that belong to the base itself (prefix match)
+        return [
+            j.name
+            for b in self._root.walk()
+            for j in b.joints
+            if "torso" in j.name and j.name.startswith(self.naming_prefix)
+        ]
+
+    @property
+    def leg_joints(self) -> List[str]:
+        """Actuated leg joints contributed by the base (legged bases only)."""
+        return []
+
+    @property
+    def center_site(self) -> str:
+        """Base reference site used by the mobile controller
+        (mobile_base_controller.py:89-94)."""
+        return self.naming_prefix + "center"
+
+    @property
+    def init_qpos(self):
+        return np.array([])
 
     @property
     def top_offset(self):
@@ -138,3 +183,131 @@ class OmronMobileBase(RobotBaseModel):
     @property
     def horizontal_radius(self):
         return 0.4
+
+
+@register_base
+class NullMobileBase(RobotBaseModel):
+    """reference bases/null_mobile_base.py."""
+
+    card_name = "null_mobile_base"
+    mount = False
+
+
+@register_base
+class FloatingLeggedBase(RobotBaseModel):
+    """reference bases/floating_legged_base.py: a bare support body carrying
+    the planar mobile joints + velocity actuators."""
+
+    card_name = "floating_legged_base"
+    mount = False
+
+
+@register_base
+class NoActuationBase(RobotBaseModel):
+    """reference bases/no_actuation_base.py: dummy mobile base (no joints,
+    no actuators) for self-supporting robots like GR1."""
+
+    card_name = "no_actuation_base"
+    mount = False
+
+    @property
+    def top_offset(self):
+        return np.array((0.0, 0.0, 0.0))
+
+    @property
+    def horizontal_radius(self):
+        return 0.0
+
+
+@register_base
+class Spot(RobotBaseModel):
+    """reference bases/spot_base.py:7-28 Spot: the full legged Spot body —
+    free root joint + 12 actuated leg joints. Prefix 'leg{idn}_'
+    (leg_base_model.py:23)."""
+
+    card_name = "spot"
+    mount = False
+
+    @property
+    def naming_prefix(self):
+        return f"leg{self.idn}_"
+
+    @property
+    def leg_joints(self) -> List[str]:
+        if self._root is None:
+            return []
+        return [
+            j.name
+            for b in self._root.walk()
+            for j in b.joints
+            if j.type != "free" and "leg" in j.name and j.name.startswith(self.naming_prefix)
+        ]
+
+    @property
+    def init_qpos(self):
+        # reference spot_base.py:26-28: (hx, hy, kn) x (fr, fl, hr, hl)
+        return np.array([0.0, 0.9, -1.8] * 4)
+
+    @property
+    def top_offset(self):
+        return np.array((0.0, 0.0, 0.0))
+
+    @property
+    def horizontal_radius(self):
+        return 0.1
+
+
+@register_base
+class SpotFloating(RobotBaseModel):
+    """reference bases/spot_base.py:31-56 SpotFloating: the Spot body with
+    leg actuation and the free joint removed, planar mobile joints added
+    (leg_base_model.py:26-51,52-135). Prefix 'leg{idn}_' (leg_base_model.py:23)."""
+
+    card_name = "spot"
+    mount = False
+
+    @property
+    def naming_prefix(self):
+        return f"leg{self.idn}_"
+
+    def _customize_spec(self, ms):
+        root = self._root
+        # remove free joint + leg joints; legs become rigid decorations
+        for b in root.walk():
+            b.joints = [j for j in b.joints if j.type != "free" and "leg" not in j.name]
+        ms.actuators = [a for a in ms.actuators if "leg" not in a.name]
+        # planar mobile joints on the root (leg_base_model.py:56-88; note the
+        # reference's swapped axes: forward=+y, side=+x in Spot's body frame)
+        root.joints.insert(
+            0,
+            S.JointSpec("joint_mobile_forward", type="slide", axis=(0, 1, 0), frictionloss=250.0),
+        )
+        root.joints.insert(
+            1, S.JointSpec("joint_mobile_side", type="slide", axis=(1, 0, 0), frictionloss=250.0)
+        )
+        root.joints.insert(
+            2, S.JointSpec("joint_mobile_yaw", type="hinge", axis=(0, 0, 1), frictionloss=250.0)
+        )
+        for nm, rng, kv in (
+            ("mobile_forward", 1.0, 1000.0),
+            ("mobile_side", 1.0, 1000.0),
+            ("mobile_yaw", 1.5, 1500.0),
+        ):
+            ms.actuators.append(
+                S.ActuatorSpec(
+                    name=f"actuator_{nm}",
+                    joint=f"joint_{nm}",
+                    kind="velocity",
+                    ctrlrange=(-rng, rng),
+                    forcerange=(-600.0, 600.0),
+                    kv=kv,
+                )
+            )
+
+    @property
+    def top_offset(self):
+        return np.array((0.0, 0.0, 0.0))
+
+    @property
+    def horizontal_radius(self):
+        return 0.1

@@ -122,6 +122,12 @@ class GripperModel:
         (reference format_action's np.array([-1, 1]) pattern)."""
         return np.ones(len(self._actuators))
 
+    def format_action_indices(self):
+        """For dexterous hands: per-actuator index into the dof-length action
+        (reference inspire_hands.py:22-28 `action[indices]` direct mapping).
+        None -> binary ramped gripper (dof-1 open/close)."""
+        return None
+
 
 @register_gripper
 class PandaGripper(GripperModel):
@@ -336,36 +342,109 @@ class BDGripper(GripperModel):
     dof = 1
     speed = 0.2
 
+    @property
+    def init_qpos(self):
+        return np.array([-1.57])
+
+    @property
+    def _important_geoms(self):
+        # reference bd_gripper.py:31-36
+        return {
+            "left_finger": ["left_hinge_coll", "left_finger_coll", "left_tooth_coll"],
+            "right_finger": ["right_hinge_coll", "right_finger_coll", "right_tooth_coll"],
+            "left_fingerpad": ["left_finger_coll"],
+            "right_fingerpad": ["right_finger_coll"],
+        }
+
+
+def _hand_geoms(prefix):
+    """thumb opposes the four fingers (reference inspire_hands.py:127-160,
+    fourier_hands.py:49-81: thumb geoms double as left_finger(+pad),
+    finger geoms as right_finger(+pad))."""
+    if prefix in ("l", "r"):  # inspire naming
+        thumb = [f"{prefix}_thumb_proximal_col", f"{prefix}_thumb_proximal_2_col",
+                 f"{prefix}_thumb_middle_col", f"{prefix}_thumb_distal_col"]
+        fingers = [f"{prefix}_{f}_{seg}_col" for f in ("index", "middle", "ring", "pinky")
+                   for seg in ("proximal", "distal")]
+    else:  # fourier naming ("L"/"R")
+        thumb = [f"{prefix}_thumb_proximal_base_link_col", f"{prefix}_thumb_proximal_link_col",
+                 f"{prefix}_thumb_distal_link_col"]
+        fingers = [f"{prefix}_{f}_{seg}_link_col" for f in ("index", "middle", "ring", "pinky")
+                   for seg in ("proximal", "intermediate")]
+    return {"left_finger": thumb, "right_finger": fingers,
+            "left_fingerpad": thumb, "right_fingerpad": fingers}
+
 
 @register_gripper
 class InspireLeftHand(GripperModel):
+    """reference inspire_hands.py:10-85: 6-dof dexterous hand; the 6-dim
+    action maps directly onto 12 position actuators via index expansion
+    (inspire_hands.py:22-28) — no binary ramp."""
+
     card_name = "inspire_left_hand"
     dof = 6
-    speed = 0.2
+    speed = 0.15
 
     def __init__(self, idn=0, arm="left"):
         super().__init__(idn=idn, arm=arm)
 
+    def format_action_indices(self):
+        # actuator order: pinky(d,p), ring(d,p), middle(d,p), index(d,p),
+        # thumb(distal, middle, proximal_2, proximal_1)
+        return np.array([0, 0, 1, 1, 2, 2, 3, 3, 4, 4, 4, 5])
+
+    @property
+    def init_qpos(self):
+        return np.zeros(12)
+
+    @property
+    def _important_geoms(self):
+        return _hand_geoms("l")
+
 
 @register_gripper
-class InspireRightHand(GripperModel):
+class InspireRightHand(InspireLeftHand):
     card_name = "inspire_right_hand"
-    dof = 6
-    speed = 0.2
+
+    def __init__(self, idn=0, arm="right"):
+        super(InspireLeftHand, self).__init__(idn=idn, arm=arm)
+
+    @property
+    def _important_geoms(self):
+        return _hand_geoms("r")
 
 
 @register_gripper
 class FourierLeftHand(GripperModel):
+    """reference fourier_hands.py:10-82: 6-dof hand, 11 actuators
+    (thumb has yaw + 2 coupled pitch dofs)."""
+
     card_name = "fourier_left_hand"
     dof = 6
-    speed = 0.2
+    speed = 0.15
 
     def __init__(self, idn=0, arm="left"):
         super().__init__(idn=idn, arm=arm)
 
+    def format_action_indices(self):
+        return np.array([0, 0, 1, 1, 2, 2, 3, 3, 4, 4, 5])
+
+    @property
+    def init_qpos(self):
+        return np.zeros(11)
+
+    @property
+    def _important_geoms(self):
+        return _hand_geoms("L")
+
 
 @register_gripper
-class FourierRightHand(GripperModel):
+class FourierRightHand(FourierLeftHand):
     card_name = "fourier_right_hand"
-    dof = 6
-    speed = 0.2
+
+    def __init__(self, idn=0, arm="right"):
+        super(FourierLeftHand, self).__init__(idn=idn, arm=arm)
+
+    @property
+    def _important_geoms(self):
+        return _hand_geoms("R")

@@ -89,6 +89,82 @@ class ManipulatorModel:
     def arm_type(self):
         return "single"
 
+    # "fixed" -> FixedBaseRobot, "wheeled"/"legged" -> MobileRobot runtime
+    # (reference robots/__init__.py:15-34 ROBOT_CLASS_MAPPING)
+    robot_kind = "fixed"
+
+    @property
+    def card_joint_names(self) -> List[str]:
+        """ALL prefixed robot-card joints in card order — the reference's
+        _ref_joint_indexes (robot.py:302-332): torso + head + arms for
+        mobile manipulators, just the arms for fixed-base ones. init_qpos
+        covers exactly these joints."""
+        out = []
+        removed = getattr(self, "_removed_joints", ())
+
+        def walk(bd):
+            for j in bd.get("joints", []):
+                if j.get("type") != "free" and j["name"] not in removed:
+                    out.append(j["name"])
+            for c in bd.get("children", []):
+                walk(c)
+
+        for bd in self.card["bodies"]:
+            walk(bd)
+        return [self.naming_prefix + j for j in out]
+
+    @property
+    def base_joints(self) -> List[str]:
+        """Planar base joints (from the mobile base card)."""
+        return self.base.base_joints if self.base is not None else []
+
+    @property
+    def torso_joints(self) -> List[str]:
+        card_torso = [j for j in self.card_joint_names if "torso" in j]
+        base_torso = self.base.torso_joints if self.base is not None else []
+        return card_torso + base_torso
+
+    @property
+    def head_joints(self) -> List[str]:
+        return [j for j in self.card_joint_names if "head" in j]
+
+    @property
+    def legs_joints(self) -> List[str]:
+        """Actuated leg joints: robot card legs + legged-base legs (reference
+        manipulator_model.py:97-105 'leg' classification + legged base)."""
+        card_legs = [j for j in self.card_joint_names if "leg" in j]
+        base_legs = self.base.leg_joints if self.base is not None else []
+        return card_legs + base_legs
+
+    @property
+    def init_torso_qpos(self):
+        return None
+
+    # -- spec surgery (reference legged_manipulator_model.py:22-63) -----------
+    def _remove_joint_actuation(self, part_name: str):
+        """Remove joints whose name contains `part_name` (and their
+        actuators); the links become rigid decorations."""
+        removed = set()
+        for b in self._root.walk():
+            keep = []
+            for j in b.joints:
+                if part_name in j.name:
+                    removed.add(j.name)
+                else:
+                    keep.append(j)
+            b.joints = keep
+        self._actuators = [
+            a for a in self._actuators if part_name not in a.name and a.joint not in removed
+        ]
+        if not hasattr(self, "_removed_joints"):
+            self._removed_joints = set()
+        pre = self.naming_prefix
+        self._removed_joints |= {n[len(pre):] if n.startswith(pre) else n for n in removed}
+
+    def _remove_free_joint(self):
+        for b in self._root.walk():
+            b.joints = [j for j in b.joints if j.type != "free"]
+
     @property
     def _eef_name(self) -> Dict[str, str]:
         """unprefixed eef body per arm (reference manipulator_model.py:176)."""
@@ -139,8 +215,15 @@ class ManipulatorModel:
         ]
 
     def add_base(self, base):
-        """Mount under the robot root (reference robot_model.py:130-170)."""
+        """Dispatch on base type (reference robot_model.py:130-143)."""
         assert self.base is None, "base already added"
+        if base.mount:
+            self.add_mount(base)
+        else:
+            self.add_mobile_base(base)
+
+    def add_mount(self, base):
+        """Mount under the robot root (reference robot_model.py:145-170)."""
         sub = base.root_subtree()
         # reference robot_model.py:159-162: the mount root's pos is OVERWRITTEN
         sub.pos = self.base_offset - base.top_offset
@@ -148,10 +231,54 @@ class ManipulatorModel:
         self._actuators.extend(base.actuators())
         self.base = base
 
+    def add_mobile_base(self, base):
+        """Mobile/legged base: the robot rides ON the base (reference
+        robot_model.py:171-237 add_mobile_base / add_leg_base): the robot
+        root keeps its name, the base subtree is appended under it, and the
+        robot's original content moves into a 'manipulator_mount' body
+        attached to the base's '<prefix>support' body."""
+        from robosuite_tpu.models import spec as S
+
+        sub = base.root_subtree()
+        sub.pos = self.base_offset - base.top_offset
+
+        root = self._root
+        mount = S.BodySpec(self.naming_prefix + "manipulator_mount")
+        mount.joints = [j for j in root.joints if j.type != "free"]
+        mount.geoms, mount.sites, mount.cameras, mount.children = (
+            root.geoms, root.sites, root.cameras, root.children,
+        )
+        mount.inertial = None  # base carries its own inertial (robot_model.py:212-216)
+        root.joints, root.geoms, root.sites, root.cameras, root.children = [], [], [], [], []
+        root.children.append(sub)
+
+        support = sub.find_body(base.naming_prefix + "support")
+        assert support is not None, f"{base.naming_prefix}support body not in base card"
+        support.children.append(mount)
+
+        self._actuators.extend(base.actuators())
+        self.base = base
+
+    # custom gripper mounting pose overrides (reference robot.py:198-212:
+    # replaces the gripper root body's pos/quat; quat is wxyz)
+    @property
+    def gripper_mount_pos_offset(self) -> Dict[str, Any]:
+        return {}
+
+    @property
+    def gripper_mount_quat_offset(self) -> Dict[str, Any]:
+        return {}
+
     def add_gripper(self, gripper, arm: str):
         eef_body = self._root.find_body(self.eef_name[arm])
         assert eef_body is not None, f"eef body {self.eef_name[arm]} not found"
         sub = gripper.root_subtree()
+        pos_off = self.gripper_mount_pos_offset.get(arm)
+        quat_off = self.gripper_mount_quat_offset.get(arm)
+        if pos_off is not None:
+            sub.pos = np.asarray(pos_off, dtype=float)
+        if quat_off is not None:
+            sub.quat = np.asarray(quat_off, dtype=float)
         eef_body.children.append(sub)
         self._actuators.extend(gripper.actuators())
         if not hasattr(self, "_equalities"):
@@ -203,23 +330,33 @@ class ManipulatorModel:
 
     @property
     def arm_joint_names(self) -> Dict[str, List[str]]:
-        """Prefixed arm joint names per arm, card order."""
+        """Prefixed arm joint names per arm, card order.
+
+        Mirrors the reference: joints classified torso/mobile/head/leg by
+        substring (manipulator_model.py:97-114 update_joints), the remainder
+        are arm joints; bimanual robots split that flat list in half, right
+        first (fixed_base_robot.py:91-93, robot.py:1051-1057)."""
         all_joints = []
 
         def walk(bd):
             for j in bd.get("joints", []):
-                all_joints.append(j["name"])
+                if j.get("type") != "free":
+                    all_joints.append(j["name"])
             for c in bd.get("children", []):
                 walk(c)
 
         for bd in self.card["bodies"]:
             walk(bd)
+        arms_flat = [
+            j for j in all_joints
+            if not any(tag in j for tag in ("torso", "mobile", "head", "leg"))
+        ]
         if self.arm_type == "single":
-            return {"right": [self.naming_prefix + j for j in all_joints]}
-        # bimanual: reference splits by name convention (right_/left_)
+            return {"right": [self.naming_prefix + j for j in arms_flat]}
+        half = len(arms_flat) // 2
         return {
-            "right": [self.naming_prefix + j for j in all_joints if "right" in j],
-            "left": [self.naming_prefix + j for j in all_joints if "left" in j],
+            "right": [self.naming_prefix + j for j in arms_flat[:half]],
+            "left": [self.naming_prefix + j for j in arms_flat[half:]],
         }
 
     @property
@@ -386,3 +523,318 @@ class XArm7(ManipulatorModel):
     @property
     def init_qpos(self):
         return np.array([0.0, 0.0, 0.0, 0.39 * np.pi, 0.0, 0.39 * np.pi, 0.0])
+
+
+@register_robot
+class PandaDexRH(Panda):
+    """reference compositional.py:79-90: Panda with an Inspire dexterous
+    right hand, remounted with a wrist quat offset."""
+
+    @property
+    def default_gripper(self):
+        return {"right": "InspireRightHand"}
+
+    @property
+    def gripper_mount_pos_offset(self):
+        return {"right": [0.0, 0.0, 0.0]}
+
+    @property
+    def gripper_mount_quat_offset(self):
+        return {"right": [-0.5, 0.5, 0.5, -0.5]}
+
+
+@register_robot
+class PandaDexLH(Panda):
+    """reference compositional.py:93-104."""
+
+    @property
+    def default_gripper(self):
+        return {"right": "InspireLeftHand"}
+
+    @property
+    def gripper_mount_pos_offset(self):
+        return {"right": [0.0, 0.0, 0.0]}
+
+    @property
+    def gripper_mount_quat_offset(self):
+        return {"right": [0.5, -0.5, 0.5, -0.5]}
+
+
+@register_robot
+class SpotArm(ManipulatorModel):
+    """reference spot_arm.py (fixed-base Spot arm on RethinkMount)."""
+
+    card_name = "spot_arm"
+
+    def _build(self):
+        super()._build()
+        # reference spot_arm.py:21: joint damping override
+        damping = [0.1, 0.1, 0.1, 0.1, 0.1, 0.01]
+        i = 0
+        for b in self._root.walk():
+            for j in b.joints:
+                if i < len(damping):
+                    j.damping = damping[i]
+                    i += 1
+
+    @property
+    def default_base(self):
+        return "RethinkMount"
+
+    @property
+    def default_gripper(self):
+        return {"right": "BDGripper"}
+
+    @property
+    def init_qpos(self):
+        return np.array([0.0, -1.2, 1.85, 0.0, 0.862, 0.0])
+
+    @property
+    def base_xpos_offset(self):
+        return {
+            "bins": (-0.5, -0.1, 0),
+            "empty": (-0.6, 0, 0),
+            "table": lambda table_length: (-0.16 - 0.9 - table_length / 2, 0.0, 0.0),
+        }
+
+    @property
+    def top_offset(self):
+        return np.array((0, 0, 1.0))
+
+
+@register_robot
+class SpotWithArm(SpotArm):
+    """reference compositional.py:31-52: Spot arm riding the full legged Spot
+    body (free root joint + 12 actuated legs)."""
+
+    robot_kind = "legged"
+
+    @property
+    def default_base(self):
+        return "Spot"
+
+    @property
+    def init_qpos(self):
+        return np.array([0.0, -2, 1.26, -0.335, 0.862, 0.0])
+
+    @property
+    def base_xpos_offset(self):
+        return {
+            "bins": (-1.05, -0.1, -0.22),
+            "empty": (-1.1, 0, -0.22),
+            "table": lambda table_length: (-0.5 - table_length / 2, 0.0, -0.22),
+        }
+
+
+@register_robot
+class GR1(ManipulatorModel):
+    """reference gr1_robot.py:7-101: Fourier GR1 humanoid — bimanual, 3-dof
+    torso + 3-dof head + 2x7 arms + 2x6 actuated legs on a free root joint;
+    default dexterous Fourier hands."""
+
+    card_name = "gr1"
+    arms = ["right", "left"]
+    robot_kind = "legged"
+
+    @property
+    def arm_type(self):
+        return "bimanual"
+
+    @property
+    def _eef_name(self):
+        return {"right": "right_eef", "left": "left_eef"}
+
+    @property
+    def default_base(self):
+        return "NoActuationBase"
+
+    @property
+    def default_gripper(self):
+        return {"right": "FourierRightHand", "left": "FourierLeftHand"}
+
+    @property
+    def init_qpos(self):
+        # card order: torso(3) head(3) right arm(7) left arm(7) legs(12)
+        q = np.zeros(32)
+        q[6:13] = [0.0, -0.1, 0.0, -1.57, 0.0, 0.0, 0.0]
+        q[13:20] = [0.0, 0.1, 0.0, -1.57, 0.0, 0.0, 0.0]
+        return q
+
+    @property
+    def base_xpos_offset(self):
+        return {
+            "bins": (-0.30, -0.1, 0.95),
+            "empty": (-0.29, 0, 0.95),
+            "table": lambda table_length: (-0.15 - table_length / 2, 0, 0.95),
+        }
+
+    @property
+    def top_offset(self):
+        return np.array((0, 0, 1.0))
+
+    @property
+    def horizontal_radius(self):
+        return 0.5
+
+
+@register_robot
+class GR1FixedLowerBody(GR1):
+    """reference gr1_robot.py:104-130: legs de-actuated, free joint removed."""
+
+    def __init__(self, idn=0):
+        super().__init__(idn=idn)
+        self._remove_joint_actuation("leg")
+        self._remove_free_joint()
+
+    @property
+    def init_qpos(self):
+        q = np.zeros(20)
+        q[6:13] = [0.0, -0.1, 0.0, -1.57, 0.0, 0.0, 0.0]
+        q[13:20] = [0.0, 0.1, 0.0, -1.57, 0.0, 0.0, 0.0]
+        return q
+
+
+@register_robot
+class GR1FloatingBody(GR1):
+    """reference gr1_robot.py:133-166: de-legged GR1 on a FloatingLeggedBase
+    (planar mobile joints); HYBRID_MOBILE_BASE composite."""
+
+    composite_type = "HYBRID_MOBILE_BASE"
+
+    def __init__(self, idn=0):
+        super().__init__(idn=idn)
+        self._remove_joint_actuation("leg")
+        self._remove_free_joint()
+
+    @property
+    def default_base(self):
+        return "FloatingLeggedBase"
+
+    @property
+    def init_qpos(self):
+        q = np.zeros(20)
+        q[6:13] = [0.0, -0.1, 0.0, -1.57, 0.0, 0.0, 0.0]
+        q[13:20] = [0.0, 0.1, 0.0, -1.57, 0.0, 0.0, 0.0]
+        return q
+
+    @property
+    def base_xpos_offset(self):
+        return {
+            "bins": (-0.30, -0.1, 0.97),
+            "empty": (-0.29, 0, 0.97),
+            "table": lambda table_length: (-0.15 - table_length / 2, 0, 0.97),
+        }
+
+
+@register_robot
+class GR1ArmsOnly(GR1):
+    """reference gr1_robot.py:169-195: arms only — legs/head/torso
+    de-actuated, free joint removed."""
+
+    def __init__(self, idn=0):
+        super().__init__(idn=idn)
+        self._remove_joint_actuation("leg")
+        self._remove_joint_actuation("head")
+        self._remove_joint_actuation("torso")
+        self._remove_free_joint()
+
+    @property
+    def init_qpos(self):
+        q = np.zeros(14)
+        q[0:7] = [0.0, -0.1, 0.0, -1.57, 0.0, 0.0, 0.0]
+        q[7:14] = [0.0, 0.1, 0.0, -1.57, 0.0, 0.0, 0.0]
+        return q
+
+
+@register_robot
+class PandaOmron(Panda):
+    """reference compositional.py:6-28: Panda arm riding an OmronMobileBase."""
+
+    robot_kind = "wheeled"
+    # reference controllers/config/robots/default_pandaomron.json: HYBRID
+    composite_type = "HYBRID_MOBILE_BASE"
+    part_controller_kp = {"torso": 2000.0, "head": 1000.0}
+
+    @property
+    def default_base(self):
+        return "OmronMobileBase"
+
+    @property
+    def init_qpos(self):
+        return np.array([0, np.pi / 16.0 - 0.2, 0.00, -np.pi / 2.0 - np.pi / 3.0, 0.00, np.pi - 0.4, np.pi / 4])
+
+    @property
+    def init_torso_qpos(self):
+        return np.array([0.2])
+
+    @property
+    def base_xpos_offset(self):
+        return {
+            "bins": (-0.6, -0.1, 0),
+            "empty": (-0.6, 0, 0),
+            "table": lambda table_length: (-0.16 - table_length / 2, 0, 0),
+        }
+
+
+@register_robot
+class SpotWithArmFloating(SpotArm):
+    """reference compositional.py:53-74: Spot arm on the floating (de-legged)
+    Spot body with planar mobile joints."""
+
+    robot_kind = "legged"
+
+    @property
+    def default_base(self):
+        return "SpotFloating"
+
+    @property
+    def init_qpos(self):
+        return np.array([0.0, -2, 1.26, -0.335, 0.862, 0.0])
+
+    @property
+    def base_xpos_offset(self):
+        return {
+            "bins": (-0.7, -0.1, 0.0),
+            "empty": (-0.6, 0, 0.0),
+            "table": lambda table_length: (-0.5 - table_length / 2, 0.0, 0.0),
+        }
+
+
+@register_robot
+class Tiago(ManipulatorModel):
+    """reference tiago_robot.py: bimanual wheeled mobile manipulator; the
+    card carries torso_lift + 2 head joints + 2x6 arm joints; planar base
+    joints come from the NullMobileBase card."""
+
+    card_name = "tiago"
+    arms = ["right", "left"]
+    robot_kind = "wheeled"
+
+    @property
+    def arm_type(self):
+        return "bimanual"
+
+    @property
+    def _eef_name(self):
+        return {"right": "right_hand", "left": "left_hand"}
+
+    @property
+    def default_base(self):
+        return "NullMobileBase"
+
+    @property
+    def default_gripper(self):
+        return {"right": "Robotiq85Gripper", "left": "Robotiq85Gripper"}
+
+    @property
+    def init_qpos(self):
+        # card joint order: torso_lift, head_1, head_2, right arm x6, left arm x6
+        return np.array([0.1, 0, 0, 0, -0.9, 1.45, 1.7, -1.5, 0.5, 0, -0.9, 1.45, 1.7, -1.5, 0.5])
+
+    @property
+    def base_xpos_offset(self):
+        return {
+            "bins": (-0.5, -0.1, 0),
+            "empty": (-0.29, 0, 0),
+            "table": lambda table_length: (-0.20 - table_length / 2, 0, 0),
+        }

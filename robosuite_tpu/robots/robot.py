@@ -28,6 +28,7 @@ from robosuite_tpu.controllers.parts import ik as ik_mod
 from robosuite_tpu.controllers.parts import joint_pos as jp_mod
 from robosuite_tpu.controllers.parts import joint_tor as jt_mod
 from robosuite_tpu.controllers.parts import joint_vel as jv_mod
+from robosuite_tpu.controllers.parts import mobile_base as mb_mod
 from robosuite_tpu.controllers.parts import osc as osc_mod
 from robosuite_tpu.physics import dynamics, kinematics
 
@@ -114,7 +115,7 @@ class FixedBaseRobot:
             from robosuite_tpu.controllers.factory import load_composite_controller_config
 
             controller_config = load_composite_controller_config(
-                controller_config, robot=type(robot_model).__name__
+                controller_config, robot=type(robot_model).__name__, arms=self.arms
             )
             controller_config = {arm: controller_config[arm] for arm in self.arms}
         self.arm_cfg = controller_config
@@ -122,12 +123,26 @@ class FixedBaseRobot:
             arm: grip_mod.GripConfig(dim=len(self.gripper_actuator_ids[arm]))
             for arm in self.arms
         }
-        # nullspace target: robot init qpos (reference controller init)
+        # nullspace target: robot init qpos (reference controller init).
+        # init_qpos covers ALL card joints in card order (torso+head+arms for
+        # mobile manipulators); pick each arm's entries by position.
         iq = np.asarray(robot_model.init_qpos, dtype=np.float32)
-        n_per = len(iq) // len(self.arms)
-        self.initial_joint = {
-            arm: jnp.asarray(iq[i * n_per : (i + 1) * n_per]) for i, arm in enumerate(self.arms)
-        }
+        card = robot_model.card_joint_names
+        self.initial_joint = {}
+        for arm in self.arms:
+            jnames = robot_model.arm_joint_names[arm]
+            if len(iq) == len(card):
+                sel = [card.index(n) for n in jnames]
+                self.initial_joint[arm] = jnp.asarray(iq[sel])
+            else:  # legacy even split (all-arm cards)
+                n_per = len(iq) // len(self.arms)
+                i = self.arms.index(arm)
+                self.initial_joint[arm] = jnp.asarray(iq[i * n_per : (i + 1) * n_per])
+
+        # qpos addresses of the card joints, card order — where init_qpos
+        # lands at reset (reference robot.py:234-300 _ref_joint_pos_indexes)
+        card_jids = [model.jnt_name2id(n) for n in card]
+        self.init_qpos_idx = np.array([model.jnt_qposadr[j] for j in card_jids], dtype=int)
 
     def _ctrl_mod(self, cfg):
         for klass, mod in _CTRL_DISPATCH.items():
@@ -148,18 +163,31 @@ class FixedBaseRobot:
             d += self.rm.grippers[arm].dof if arm in self.rm.grippers else 0
         return d
 
-    def split_action(self, action):
-        """-> dict arm -> (arm_action, gripper_action)."""
+    def action_split_indexes(self):
+        """part name -> (start, end), reference composite layout: arm parts
+        first (model order), then grippers last (composite_controller.py:86-95;
+        verified against the live reference: Baxter = right, left,
+        right_gripper, left_gripper)."""
         out = {}
         i = 0
         for arm in self.arms:
             cd = self.arm_cfg[arm].control_dim
-            arm_a = action[..., i : i + cd]
+            out[arm] = (i, i + cd)
             i += cd
+        for arm in self.arms:
             gd = self.rm.grippers[arm].dof if arm in self.rm.grippers else 0
-            grip_a = action[..., i : i + gd]
+            out[f"{arm}_gripper"] = (i, i + gd)
             i += gd
-            out[arm] = (arm_a, grip_a)
+        return out
+
+    def split_action(self, action):
+        """-> dict arm -> (arm_action, gripper_action)."""
+        idx = self.action_split_indexes()
+        out = {}
+        for arm in self.arms:
+            s, e = idx[arm]
+            gs, ge = idx[f"{arm}_gripper"]
+            out[arm] = (action[..., s:e], action[..., gs:ge])
         return out
 
     # -- views -----------------------------------------------------------------
@@ -225,17 +253,23 @@ class FixedBaseRobot:
             else:
                 new_arm[arm] = mod.set_goal(cfg, ctrl_state.arm[arm], view, arm_a)
             if arm in self.rm.grippers and self.rm.grippers[arm].dof > 0:
-                # reference gripper format_action ramp (panda_gripper.py:42-55)
-                grip = self.rm.grippers[arm]
-                direction = jnp.asarray(grip.format_action_direction(), dtype=qpos.dtype)
-                cur = ctrl_state.gripper_action[arm]
-                if cur.shape[0] != direction.shape[0]:
-                    cur = jnp.zeros_like(direction)
-                new = jnp.clip(cur + direction * grip.speed * jnp.sign(grip_a[..., 0]), -1.0, 1.0)
-                new_grip[arm] = new
+                new_grip[arm] = self._gripper_goal(arm, ctrl_state.gripper_action[arm], grip_a, qpos.dtype)
             else:
                 new_grip[arm] = ctrl_state.gripper_action[arm]
         return RobotCtrlState(arm=new_arm, gripper_action=new_grip)
+
+    def _gripper_goal(self, arm, cur, grip_a, dtype):
+        """Per-actuator gripper command in [-1, 1]. Binary grippers ramp
+        (reference panda_gripper.py:42-55); dexterous hands map the dof-length
+        action directly onto actuators (inspire_hands.py:22-28)."""
+        grip = self.rm.grippers[arm]
+        idx = grip.format_action_indices()
+        if idx is not None:
+            return jnp.clip(jnp.asarray(grip_a, dtype=dtype)[..., jnp.asarray(idx)], -1.0, 1.0)
+        direction = jnp.asarray(grip.format_action_direction(), dtype=dtype)
+        if cur.shape[0] != direction.shape[0]:
+            cur = jnp.zeros_like(direction)
+        return jnp.clip(cur + direction * grip.speed * jnp.sign(grip_a[..., 0]), -1.0, 1.0)
 
     def run_controllers(self, kin, M, bias, qpos, qvel, ctrl_state: RobotCtrlState, ctrl):
         """Substep-rate torque computation; writes into the full (nu,) ctrl
@@ -260,4 +294,172 @@ class FixedBaseRobot:
                 gst = grip_mod.set_goal(gcfg, grip_mod.GripState(goal_qvel=ctrl_state.gripper_action[arm]), ctrl_state.gripper_action[arm])
                 gctrl = grip_mod.run(gcfg, gst, amin, amax)
                 ctrl = ctrl.at[aid].set(gctrl)
+        return ctrl
+
+
+class MobileRobot(FixedBaseRobot):
+    """Wheeled/legged robot runtime (reference robots/mobile_robot.py:13-464,
+    wheeled_robot.py, legged_robot.py): adds torso / head / base parts on top
+    of the arm+gripper stack.
+
+    Action layout (verified against the live reference composite split,
+    composite_controller.py:86-95): arms, torso, head, base, grippers
+    [, base-mode flag when the composite is HYBRID_MOBILE_BASE
+    (composite_controller.py:234-291)].
+    """
+
+    def __init__(self, model, robot_model, controller_config=None):
+        super().__init__(model, robot_model, controller_config)
+        rm = robot_model
+
+        self.part_qpos_idx: Dict[str, Any] = {}
+        self.part_qvel_idx: Dict[str, Any] = {}
+        self.part_actuator_ids: Dict[str, Any] = {}
+        part_joints = {
+            "torso": rm.torso_joints,
+            "head": rm.head_joints,
+            "base": rm.base_joints,
+            "legs": rm.legs_joints,
+        }
+        # actuator lookup by transmission joint id
+        act_by_jnt = {int(j): i for i, j in enumerate(model.actuator_jntid)}
+        for part, names in part_joints.items():
+            jids = [model.jnt_name2id(n) for n in names]
+            self.part_qpos_idx[part] = np.array([model.jnt_qposadr[j] for j in jids], dtype=int)
+            self.part_qvel_idx[part] = np.array([model.jnt_dofadr[j] for j in jids], dtype=int)
+            self.part_actuator_ids[part] = np.array(
+                [act_by_jnt[j] for j in jids if j in act_by_jnt], dtype=int
+            )
+
+        self.base_center_site = model.site_name2id(rm.base.center_site)
+
+        kp = getattr(rm, "part_controller_kp", {})
+        self.part_cfg = {}
+        # torso/head/legs default to JOINT_POSITION kp=1000 (basic.json)
+        for part in ("torso", "head", "legs"):
+            if len(self.part_qpos_idx[part]):
+                self.part_cfg[part] = jp_mod.JointPosConfig(
+                    dim=len(self.part_qpos_idx[part]), kp=kp.get(part, 1000.0),
+                    input_type="absolute", output_max=0.5, output_min=-0.5,
+                )
+        if len(self.part_qpos_idx["base"]):
+            self.part_cfg["base"] = mb_mod.MobileBaseJointVelConfig(dim=len(self.part_qpos_idx["base"]))
+
+        # HYBRID_MOBILE_BASE appends a trailing base-mode action dim
+        self.hybrid = getattr(rm, "composite_type", "BASIC") == "HYBRID_MOBILE_BASE"
+
+    # -- views ------------------------------------------------------------------
+    def _part_view(self, kin, M, bias, qpos, qvel, part: str):
+        qp_i = self.part_qpos_idx[part]
+        qv_i = self.part_qvel_idx[part]
+        z3 = jnp.zeros(3)
+        e3 = jnp.eye(3)
+        return ArmView(
+            joint_pos=qpos[qp_i], joint_vel=qvel[qv_i],
+            ref_pos=z3, ref_ori_mat=e3, ref_pos_vel=z3, ref_ori_vel=z3,
+            J_pos=jnp.zeros((3, len(qv_i))), J_ori=jnp.zeros((3, len(qv_i))),
+            mass_matrix=M[jnp.ix_(qv_i, qv_i)], torque_compensation=bias[qv_i],
+            initial_joint=jnp.zeros(len(qp_i)), origin_pos=z3, origin_ori=e3,
+            origin_pos_vel=z3, origin_ori_vel=z3,
+        )
+
+    def _base_yaw(self, kin):
+        R = kin.site_xmat[self.base_center_site]
+        return jnp.arctan2(R[1, 0], R[0, 0])
+
+    # -- action layout ------------------------------------------------------------
+    @property
+    def action_dim(self) -> int:
+        d = super().action_dim
+        for part in ("torso", "head", "base", "legs"):
+            if part in self.part_cfg:
+                d += self.part_cfg[part].control_dim
+        if self.hybrid:
+            d += 1
+        return d
+
+    def action_split_indexes(self):
+        out = {}
+        i = 0
+        for arm in self.arms:
+            cd = self.arm_cfg[arm].control_dim
+            out[arm] = (i, i + cd)
+            i += cd
+        for part in ("torso", "head", "base", "legs"):
+            if part in self.part_cfg:
+                cd = self.part_cfg[part].control_dim
+                out[part] = (i, i + cd)
+                i += cd
+        for arm in self.arms:
+            gd = self.rm.grippers[arm].dof if arm in self.rm.grippers else 0
+            out[f"{arm}_gripper"] = (i, i + gd)
+            i += gd
+        if self.hybrid:
+            out["base_mode"] = (i, i + 1)
+        return out
+
+    # -- two-clock control ---------------------------------------------------------
+    def init_ctrl_state(self, kin, M, bias, qpos, qvel) -> RobotCtrlState:
+        st = super().init_ctrl_state(kin, M, bias, qpos, qvel)
+        parts = dict(st.arm)
+        for part in ("torso", "head", "legs"):
+            if part in self.part_cfg:
+                view = self._part_view(kin, M, bias, qpos, qvel, part)
+                parts[part] = jp_mod.init_state(self.part_cfg[part], view)
+        if "base" in self.part_cfg:
+            parts["base"] = mb_mod.init_state(self.part_cfg["base"], self._base_yaw(kin))
+        return RobotCtrlState(arm=parts, gripper_action=st.gripper_action)
+
+    def set_goals(self, kin, M, bias, qpos, qvel, ctrl_state: RobotCtrlState, action) -> RobotCtrlState:
+        idx = self.action_split_indexes()
+        new = dict(ctrl_state.arm)
+        new_grip = dict(ctrl_state.gripper_action)
+        mode = action[..., -1] if self.hybrid else None
+        for arm in self.arms:
+            s, e = idx[arm]
+            view = self.arm_view(kin, M, bias, qpos, qvel, arm)
+            cfg = self.arm_cfg[arm]
+            mod = self._ctrl_mod(cfg)
+            if mod is osc_mod and self.hybrid:
+                # base moving (mode > 0) -> track w.r.t. the desired previous
+                # goal; else w.r.t. the achieved pose (composite_controller.py:255-266)
+                new[arm] = osc_mod.set_goal(cfg, ctrl_state.arm[arm], view, action[..., s:e], wrt_origin=mode > 0)
+            elif mod is jt_mod:
+                lo, hi = self.torque_limits[arm]
+                new[arm] = mod.set_goal(cfg, ctrl_state.arm[arm], action[..., s:e], jnp.asarray(lo), jnp.asarray(hi))
+            else:
+                new[arm] = mod.set_goal(cfg, ctrl_state.arm[arm], view, action[..., s:e])
+            gs, ge = idx[f"{arm}_gripper"]
+            grip_a = action[..., gs:ge]
+            if arm in self.rm.grippers and self.rm.grippers[arm].dof > 0:
+                new_grip[arm] = self._gripper_goal(arm, ctrl_state.gripper_action[arm], grip_a, qpos.dtype)
+        for part in ("torso", "head", "legs"):
+            if part in self.part_cfg:
+                s, e = idx[part]
+                view = self._part_view(kin, M, bias, qpos, qvel, part)
+                new[part] = jp_mod.set_goal(self.part_cfg[part], ctrl_state.arm[part], view, action[..., s:e])
+        if "base" in self.part_cfg:
+            s, e = idx["base"]
+            new["base"] = mb_mod.set_goal(
+                self.part_cfg["base"], ctrl_state.arm["base"], action[..., s:e], self._base_yaw(kin)
+            )
+        return RobotCtrlState(arm=new, gripper_action=new_grip)
+
+    def run_controllers(self, kin, M, bias, qpos, qvel, ctrl_state: RobotCtrlState, ctrl):
+        ctrl = super().run_controllers(kin, M, bias, qpos, qvel, ctrl_state, ctrl)
+        rng = np.asarray(self.model.actuator_ctrlrange)
+        for part in ("torso", "head", "legs"):
+            if part in self.part_cfg:
+                view = self._part_view(kin, M, bias, qpos, qvel, part)
+                tau = jp_mod.run(self.part_cfg[part], ctrl_state.arm[part], view)
+                aid = self.part_actuator_ids[part]
+                tau = jnp.clip(tau, jnp.asarray(rng[aid, 0], dtype=tau.dtype), jnp.asarray(rng[aid, 1], dtype=tau.dtype))
+                ctrl = ctrl.at[aid].set(tau)
+        if "base" in self.part_cfg:
+            aid = self.part_actuator_ids["base"]
+            v = mb_mod.run(
+                self.part_cfg["base"], ctrl_state.arm["base"],
+                jnp.asarray(rng[aid, 0]), jnp.asarray(rng[aid, 1]),
+            )
+            ctrl = ctrl.at[aid].set(v)
         return ctrl
