@@ -137,10 +137,37 @@ class RobotEnv:
         ]
 
         self._setup_references()
+        self._model_dtype = dtype
+        self._controller_cfgs = cfgs
 
         # jitted entry points
+        self._refresh_jit()
+
+    def _refresh_jit(self):
+        """(Re)create the jitted entry points — call after any change to
+        self.model so the next trace captures the new constants."""
         self._reset_jit = jax.jit(self._reset_impl)
         self._step_jit = jax.jit(self._step_impl)
+        for attr in ("_reset_batch_jit", "_step_batch_jit", "_rollout_jit"):
+            if hasattr(self, attr):
+                delattr(self, attr)
+
+    def rebuild_model(self):
+        """Recompile the world from the (possibly edited) task spec and
+        rebuild the runtime robots — the analog of the reference's
+        hard-reset XML-processor path (environments/base.py:290-295,
+        visualization_wrapper.py:74-80)."""
+        from robosuite_tpu.robots.robot import MobileRobot
+
+        self.model = self.task.compile(dtype=self._model_dtype)
+        self.robots = [
+            (MobileRobot if getattr(rm, "robot_kind", "fixed") in ("wheeled", "legged") else FixedBaseRobot)(
+                self.model, rm, cfg
+            )
+            for rm, cfg in zip(self.robot_models, self._controller_cfgs)
+        ]
+        self._setup_references()
+        self._refresh_jit()
 
     # -- subclass hooks --------------------------------------------------------
     def _load_model(self):
@@ -280,6 +307,19 @@ class RobotEnv:
         if self.use_camera_obs:
             obs.update(self._camera_observations(kin))
         return state, obs
+
+    def state_from_flattened(self, flat, rng=None):
+        """Build a full EnvState from a flattened (time, qpos, qvel) state —
+        the analog of reference set_state_from_flattened + controller reset
+        (binding_utils.py:1155-1184, used by demo playback / DemoSampler)."""
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        physics = State.from_flattened(jnp.asarray(flat, dtype=jnp.asarray(self.model.qpos0).dtype), self.model)
+        kin, M, bias = engine.forward_products(self.model, physics)
+        ctrl_states = [r.init_ctrl_state(kin, M, bias, physics.qpos, physics.qvel) for r in self.robots]
+        return EnvState(
+            physics=physics, ctrl=self._pack_ctrl(ctrl_states), t=jnp.asarray(0, dtype=jnp.int32), rng=rng
+        )
 
     def _pack_ctrl(self, ctrl_states):
         if len(ctrl_states) == 1:

@@ -75,12 +75,26 @@ class DataCollectionWrapper(Wrapper):
     def reset(self, rng=None):
         out = super().reset(rng)
         self._start_new_episode()
+        # stash the pre-action initial state; appended to states on first
+        # interaction (reference data_collection_wrapper.py:95-127), so
+        # states = [initial, post-a0, ...] and len(states) = len(actions)+1.
+        # The episode is re-seeded through state_from_flattened so playback
+        # (which starts from the same call on states[0]) replays the exact
+        # same compiled path -> bit-identical final states (the reference's
+        # open-loop playback contract, test_action_playback.py:39-68).
+        st = out[0] if isinstance(out, tuple) else out
+        self._initial_state = np.asarray(st.physics.flatten())
+        if hasattr(self.env, "state_from_flattened"):
+            st = self.env.state_from_flattened(self._initial_state)
+            out = (st,) + tuple(out[1:]) if isinstance(out, tuple) else st
         return out
 
     def step(self, state, action):
         result = super().step(state, action)
         new_state = result[0]
         self.t += 1
+        if not self.has_interaction and self.backend != "native" and getattr(self, "_initial_state", None) is not None:
+            self.states.append(self._initial_state)
         self.has_interaction = True
         if self.t % self.collect_freq == 0:
             flat = np.asarray(new_state.physics.flatten())

@@ -86,3 +86,30 @@ def test_buffers():
         dl = dl.push(jnp.asarray([float(i)]))
         outs.append(float(dl.delayed[0]))
     assert outs == [0.0, 0.0, 0.0, 1.0]
+
+
+def test_visualization_wrapper_indicators():
+    """Indicator sites are injected into the world and movable
+    (reference visualization_wrapper.py:23-186)."""
+    import jax
+    import numpy as np
+
+    import robosuite_tpu
+    from robosuite_tpu.wrappers import VisualizationWrapper
+
+    env = robosuite_tpu.make("Lift", robots="Panda", cube_size=[0.021, 0.021, 0.021])
+    w = VisualizationWrapper(env, indicator_configs="default")
+    assert w.get_indicator_names() == ["indicator0"]
+    sid = env.model.site_name2id("indicator0")
+    w.set_indicator_pos("indicator0", (0.1, 0.2, 0.3))
+    np.testing.assert_allclose(np.asarray(env.model.site_pos[sid]), [0.1, 0.2, 0.3], atol=1e-6)
+    # env still resets + steps with the rebuilt model
+    out = env.reset(jax.random.PRNGKey(0))
+    st = out[0] if isinstance(out, tuple) else out
+    st, obs, rew, done, info = env.step(st, np.zeros(env.action_dim, dtype=np.float32))
+    assert np.isfinite(np.asarray(st.physics.qpos)).all()
+    # vis settings API
+    s = w.get_visualization_settings()
+    k = next(iter(s))
+    w.set_visualization_setting(k, False)
+    assert w.get_visualization_settings()[k] is False
