@@ -99,10 +99,24 @@ def crba(model, kin):
     pre-contracted.
     """
     dof_body = np.asarray(model.dof_bodyid, dtype=np.int32)  # static index
-    m = model.body_mass                                       # (nb,)
-    c = kin.xipos                                             # (nb, 3) COM, world
-    R = kin.ximat
-    I_C = jnp.einsum("bij,bj,bkj->bik", R, model.body_inertia, R)  # about COM
+    # static pruning: bodies moved by no dof (world, arena, table, pedestal)
+    # are in no dof's subtree and never contribute to M — drop them from the
+    # (nv, nbody) einsum axes (30-50% of a manipulation world's bodies).
+    # Derived from the static tree fields (parent ids + joint counts), NOT
+    # model.ancestor_mask, which is a traced array leaf under jit.
+    def _is_moving(b):
+        k = b
+        while k != 0:
+            if model.body_jntnum[k] > 0:
+                return True
+            k = model.body_parentid[k]
+        return False
+
+    moving = np.array([b for b in range(model.nbody) if _is_moving(b)], dtype=np.int32)
+    m = model.body_mass[moving]                               # (nb_m,)
+    c = kin.xipos[moving]                                     # (nb_m, 3) COM, world
+    R = kin.ximat[moving]
+    I_C = jnp.einsum("bij,bj,bkj->bik", R, model.body_inertia[moving], R)  # about COM
 
     p = kin.xpos[dof_body]                                    # (nv, 3) column anchors
     # motion of dof d referenced at p_d: lin(p) = lin(0) + ang x p
@@ -110,7 +124,7 @@ def crba(model, kin):
     s_lin_p = kin.sdof_lin + jnp.cross(s_ang, p)              # (nv, 3)
 
     # subtree mask: sub[d, b] = 1 if dof d moves body b
-    sub = model.ancestor_mask.T                               # (nv, nb)
+    sub = model.ancestor_mask.T[:, moving]                    # (nv, nb_m)
 
     # per-(dof, body): COM offset from the column anchor, body-COM velocity
     r = c[None, :, :] - p[:, None, :]                         # (nv, nb, 3)
