@@ -56,6 +56,7 @@ class Model:
     dof_jntid: Tuple[int, ...] = _static()
     geom_bodyid: Tuple[int, ...] = _static()
     geom_type: Tuple[int, ...] = _static()
+    geom_group: Tuple[int, ...] = _static()
     site_bodyid: Tuple[int, ...] = _static()
     cam_bodyid: Tuple[int, ...] = _static()
     actuator_kind: Tuple[str, ...] = _static()
@@ -100,6 +101,8 @@ class Model:
     geom_size: Any = None         # (ngeom, 3)
     geom_friction: Any = None     # (ngeom, 3)
     geom_margin: Any = None       # (ngeom,)
+    geom_rgba: Any = None         # (ngeom, 4) — renderer colors (reference
+                                  # geom rgba / material, mjcf_utils.py:135)
 
     site_pos: Any = None          # (nsite, 3)
     site_quat: Any = None         # (nsite, 4)
@@ -600,6 +603,7 @@ def compile_spec(ms: S.ModelSpec, dtype=np.float32) -> Model:
         dof_jntid=tuple(dof_jntid),
         geom_bodyid=tuple(geom_bodyid),
         geom_type=tuple(S.GEOM_TYPES[g.type] for g in geoms),
+        geom_group=tuple(int(g.group) for g in geoms),
         site_bodyid=tuple(site_bodyid),
         cam_bodyid=tuple(cam_bodyid),
         actuator_kind=tuple(actuator_kind),
@@ -640,6 +644,7 @@ def compile_spec(ms: S.ModelSpec, dtype=np.float32) -> Model:
         geom_size=jnp_(np.stack([g.size for g in geoms]) if ngeom else np.zeros((0, 3))),
         geom_friction=jnp_(np.stack([g.friction for g in geoms]) if ngeom else np.zeros((0, 3))),
         geom_margin=jnp_([g.margin for g in geoms]),
+        geom_rgba=jnp_(np.stack([g.rgba for g in geoms]) if ngeom else np.zeros((0, 4))),
         site_pos=jnp_(np.stack([s.pos for s in sites]) if nsite else np.zeros((0, 3))),
         site_quat=jnp_(np.stack([s.quat for s in sites]) if nsite else np.zeros((0, 4))),
         cam_pos=jnp_(np.stack([c.pos for c in cams]) if ncam else np.zeros((0, 3))),

@@ -87,5 +87,42 @@ class ManipulationTask:
 
         self.spec = ms
 
+        # instance/class bookkeeping for segmentation id mappings
+        # (reference tasks/task.py:125-194 generate_id_mappings)
+        def subtree_geoms(body):
+            names = [g.name for g in body.geoms]
+            for ch in body.children:
+                names += subtree_geoms(ch)
+            return names
+
+        self._instances = []
+        arena_geoms = [g.name for g in self.arena.spec.worldbody.geoms]
+        for b in self.arena.spec.worldbody.children:
+            arena_geoms += subtree_geoms(b)
+        self._instances.append(("arena", type(self.arena).__name__, arena_geoms))
+        for i, robot in enumerate(self.robots):
+            self._instances.append(
+                (f"robot{getattr(robot, 'idn', i)}", type(robot).__name__,
+                 subtree_geoms(robot.root_subtree()))
+            )
+        for obj in self.objects:
+            self._instances.append(
+                (getattr(obj, "name", type(obj).__name__), type(obj).__name__,
+                 subtree_geoms(obj.get_obj()))
+            )
+
+    def generate_id_mappings(self, model):
+        """geom id -> instance name / class name maps for segmentation
+        (reference tasks/task.py:125-194). Returns
+        (geom_ids_to_instances, geom_ids_to_classes)."""
+        inst_map, cls_map = {}, {}
+        for inst, cls, names in self._instances:
+            for n in names:
+                if n in model.geom_names:
+                    gid = model.geom_name2id(n)
+                    inst_map[gid] = inst
+                    cls_map[gid] = cls
+        return inst_map, cls_map
+
     def compile(self, dtype=np.float32):
         return self.spec.compile(dtype=dtype)

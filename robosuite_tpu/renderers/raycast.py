@@ -149,23 +149,60 @@ def _trace_one(model, geom_xpos, geom_xmat, origin, direction, geom_ids):
     return best_t, best_n, best_i
 
 
-def render_camera(model, kin, camera_name, height=84, width=84, geom_groups=(0, 1)):
+def render_camera(model, kin, camera_name, height=84, width=84, geom_groups=None,
+                  visual=None):
     """Render (rgb (H,W,3) float in [0,1], depth (H,W) metric) from a fixed
-    camera. jit/vmap friendly; geoms selected statically by group."""
+    camera. jit/vmap friendly; geoms selected statically by group.
+
+    `visual` (optional) is a pytree of traced render-time overrides — the
+    TPU-native analog of the reference's Texture/Lighting/Camera modders
+    (utils/mjmod.py:62,518,782), which mutate a global MjModel and therefore
+    cannot differ across parallel instances. Recognized keys (all optional):
+      geom_rgb   (ngeom, 3) replacement colors
+      light_dir  (3,) directional light (world frame)
+      ambient    () ambient intensity (default 0.35)
+      diffuse    () diffuse intensity (default 0.65)
+      cam_dpos   (3,) world-frame camera position offset
+      fovy_scale () multiplier on the camera's vertical fov
+    """
     from robosuite_tpu.utils import camera_utils as CU
 
+    visual = visual or {}
     cam_id = model.cam_name2id(camera_name)
     fovy = float(np.asarray(model.cam_fovy)[cam_id])
-    f = 0.5 * height / np.tan(fovy * np.pi / 360.0)
+    base_f = 0.5 * height / np.tan(fovy * np.pi / 360.0)
+    # fovy_scale rescales the focal length: f = h/2 / tan(scale*fovy/2);
+    # small-angle linearization keeps it trace-friendly for scale ~ 1
+    fovy_scale = visual.get("fovy_scale", None)
+    f = base_f if fovy_scale is None else 0.5 * height / jnp.tan(
+        fovy_scale * fovy * jnp.pi / 360.0
+    )
 
-    R = CU.get_camera_extrinsic_matrix(model, kin, camera_name)
-    cam_pos = R[:3, 3]
-    cam_rot = R[:3, :3]  # columns: x right, y down, z forward (OpenCV)
+    if "cam_pos_local" in visual or "cam_quat_local" in visual:
+        # traced camera pose (CameraMover pans without retracing): replaces
+        # the model's cam_pos/cam_quat constants in the extrinsics
+        from robosuite_tpu.utils import transforms as T
 
-    # static geom selection: visual + collision groups, no mesh
+        bid = model.cam_bodyid[cam_id]
+        c_pos = visual.get("cam_pos_local", jnp.asarray(model.cam_pos)[cam_id])
+        c_quat = visual.get("cam_quat_local", jnp.asarray(model.cam_quat)[cam_id])
+        cam_pos = kin.xpos[bid] + kin.xmat[bid] @ c_pos
+        cam_rot = (kin.xmat[bid] @ T.quat2mat_wxyz(c_quat)) @ jnp.diag(
+            jnp.asarray([1.0, -1.0, -1.0])
+        )  # camera axis correction (camera_utils.py:69-73)
+    else:
+        R = CU.get_camera_extrinsic_matrix(model, kin, camera_name)
+        cam_pos = R[:3, 3]
+        cam_rot = R[:3, :3]  # columns: x right, y down, z forward (OpenCV)
+    if "cam_dpos" in visual:
+        cam_pos = cam_pos + visual["cam_dpos"]
+
+    # static geom selection: by group when given (reference renders group
+    # 0/1 by default), always excluding meshes (primitive shells render)
     geom_ids = [
         g for g in range(model.ngeom)
         if model.geom_type[g] != S.MESH
+        and (geom_groups is None or model.geom_group[g] in geom_groups)
     ]
 
     ys = (jnp.arange(height) - height / 2.0 + 0.5) / f
@@ -181,26 +218,22 @@ def render_camera(model, kin, camera_name, height=84, width=84, geom_groups=(0, 
     dirs = dirs_cam @ cam_rot.T
     dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
 
-    rgba = jnp.asarray(np.array([[0.5, 0.5, 0.5, 1.0]]).repeat(model.ngeom, 0), dtype=jnp.float32)
-    # use spec rgba if available on the model? geoms carry rgba in spec only;
-    # shade by normal + per-geom pseudo-color from index for contrast
-    light_dir = jnp.asarray([0.3, 0.3, -0.9])
-    light_dir = light_dir / jnp.linalg.norm(light_dir)
+    light_dir = visual.get("light_dir", jnp.asarray([0.3, 0.3, -0.9]))
+    light_dir = light_dir / jnp.maximum(jnp.linalg.norm(light_dir), 1e-9)
+    ambient = visual.get("ambient", 0.35)
+    diffuse = visual.get("diffuse", 0.65)
 
-    colors = []
-    rng = np.random.default_rng(0)
-    for g in geom_ids:
-        colors.append(rng.uniform(0.3, 0.9, 3))
-    colors = jnp.asarray(np.array(colors), dtype=jnp.float32)
+    all_rgb = visual.get("geom_rgb", jnp.asarray(model.geom_rgba)[:, :3])
+    colors = all_rgb[np.asarray(geom_ids, dtype=np.int32)]
 
     def pixel(d):
         t, n, gi = _trace_one(model, kin.geom_xpos, kin.geom_xmat, cam_pos, d, geom_ids)
         hit = t < _BIG * 0.5
         lam = jnp.clip(jnp.dot(n, -light_dir), 0.0, 1.0)
         base = jnp.where(gi >= 0, colors[jnp.maximum(gi, 0)], jnp.ones(3) * 0.7)
-        col = base * (0.35 + 0.65 * lam)
+        col = base * (ambient + diffuse * lam)
         sky = jnp.asarray([0.7, 0.8, 0.9])
-        rgb = jnp.where(hit, col, sky)
+        rgb = jnp.where(hit, jnp.clip(col, 0.0, 1.0), sky)
         # depth along camera forward axis
         depth = jnp.where(hit, t * jnp.dot(d, cam_rot[:, 2]), 0.0)
         return rgb, depth
@@ -210,6 +243,59 @@ def render_camera(model, kin, camera_name, height=84, width=84, geom_groups=(0, 
         rgb = rgb[::-1]
         depth = depth[::-1]
     return rgb, depth
+
+
+def render_segmentation(model, kin, camera_name, height=84, width=84,
+                        geom_to_label=None, geom_groups=None):
+    """Per-pixel segmentation map (H, W) int32 under jit.
+
+    Default labels are GLOBAL GEOM IDS (+ -1 background), matching the
+    reference's element-level segmentation (robot_env.py:452-517,
+    camera_utils.py:90-103 get_camera_segmentation). Pass `geom_to_label`
+    (dict geom id -> int, e.g. from ManipulationTask.generate_id_mappings)
+    for instance- or class-level maps.
+    """
+    from robosuite_tpu.utils import camera_utils as CU
+
+    cam_id = model.cam_name2id(camera_name)
+    fovy = float(np.asarray(model.cam_fovy)[cam_id])
+    f = 0.5 * height / np.tan(fovy * np.pi / 360.0)
+    R = CU.get_camera_extrinsic_matrix(model, kin, camera_name)
+    cam_pos, cam_rot = R[:3, 3], R[:3, :3]
+
+    geom_ids = [
+        g for g in range(model.ngeom)
+        if model.geom_type[g] != S.MESH
+        and (geom_groups is None or model.geom_group[g] in geom_groups)
+    ]
+    labels = np.asarray(
+        [geom_to_label.get(g, -1) if geom_to_label else g for g in geom_ids],
+        dtype=np.int32,
+    )
+    labels_j = jnp.asarray(labels)
+
+    ys = (jnp.arange(height) - height / 2.0 + 0.5) / f
+    xs = (jnp.arange(width) - width / 2.0 + 0.5) / f
+    dirs_cam = jnp.stack(
+        [
+            jnp.broadcast_to(xs[None, :], (height, width)),
+            jnp.broadcast_to(ys[:, None], (height, width)),
+            jnp.ones((height, width)),
+        ],
+        axis=-1,
+    )
+    dirs = dirs_cam @ cam_rot.T
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+
+    def pixel(d):
+        t, _, gi = _trace_one(model, kin.geom_xpos, kin.geom_xmat, cam_pos, d, geom_ids)
+        hit = t < _BIG * 0.5
+        return jnp.where(hit & (gi >= 0), labels_j[jnp.maximum(gi, 0)], -1)
+
+    seg = jax.vmap(jax.vmap(pixel))(dirs)
+    if macros.IMAGE_CONVENTION == "opengl":
+        seg = seg[::-1]
+    return seg
 
 
 class RaycastRenderer:
@@ -231,8 +317,25 @@ class RaycastRenderer:
             kin = kinematics.fk(env.model, qpos)
             return render_camera(env.model, kin, camera_name, height, width)
 
-        self._render = jax.jit(_render)
+        def _render_posed(qpos, cam_pos_local, cam_quat_local):
+            kin = kinematics.fk(env.model, qpos)
+            return render_camera(
+                env.model, kin, camera_name, height, width,
+                visual={"cam_pos_local": cam_pos_local, "cam_quat_local": cam_quat_local},
+            )
 
-    def render(self, state):
-        rgb, depth = self._render(state.physics.qpos)
+        self._render = jax.jit(_render)
+        self._render_posed = jax.jit(_render_posed)
+
+    def render(self, state, cam_pos=None, cam_quat=None):
+        """Render a state; optional traced camera pose override (local pos +
+        wxyz quat in the camera body frame) compiles ONCE for all poses."""
+        qpos = state.physics.qpos
+        if cam_pos is not None or cam_quat is not None:
+            cid = self.env.model.cam_name2id(self.camera_name)
+            p = jnp.asarray(self.env.model.cam_pos)[cid] if cam_pos is None else jnp.asarray(cam_pos)
+            q = jnp.asarray(self.env.model.cam_quat)[cid] if cam_quat is None else jnp.asarray(cam_quat)
+            rgb, depth = self._render_posed(qpos, p, q)
+        else:
+            rgb, depth = self._render(qpos)
         return np.asarray(rgb), np.asarray(depth)

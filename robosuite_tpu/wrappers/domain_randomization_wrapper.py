@@ -8,8 +8,10 @@ joint damping, contact friction, gravity), applied as model-leaf overrides
 inside the jitted step. This upgrades the reference's capability: the
 C-engine version cannot randomize per-parallel-instance at all.
 
-Visual randomization (textures/lighting/cameras) is out of scope until the
-renderer lands.
+Visual randomization (textures/lighting/cameras — reference TextureModder /
+LightingModder / CameraModder, mjmod.py:62,518,782) samples per-episode
+render overrides from utils/mjmod.py and feeds them to the raycast renderer,
+again per-scenario where the reference is global-only.
 """
 
 from __future__ import annotations
@@ -35,10 +37,14 @@ class DynamicsRandomizationConfig:
 
 
 class DomainRandomizationWrapper(Wrapper):
-    def __init__(self, env, config: Optional[DynamicsRandomizationConfig] = None, seed: int = 0):
+    def __init__(self, env, config: Optional[DynamicsRandomizationConfig] = None, seed: int = 0,
+                 randomize_color: bool = False, randomize_lighting: bool = False,
+                 randomize_camera: bool = False):
         super().__init__(env)
         self.config = config or DynamicsRandomizationConfig()
         self._key = jax.random.PRNGKey(seed)
+        self._visual_flags = (randomize_color, randomize_lighting, randomize_camera)
+        self.visual_overrides = None
 
         base = env.model
 
@@ -86,7 +92,32 @@ class DomainRandomizationWrapper(Wrapper):
         state, obs = self.env.reset(rng)
         self._key, k = jax.random.split(self._key)
         self.overrides = self._sample_overrides(k)
+        if any(self._visual_flags):
+            from robosuite_tpu.utils.mjmod import sample_visual_overrides
+
+            color, lighting, camera = self._visual_flags
+            self._key, kv = jax.random.split(self._key)
+            self.visual_overrides = sample_visual_overrides(
+                self.env.model, kv,
+                texture=None if color else False,
+                lighting=None if lighting else False,
+                camera=None if camera else False,
+            )
         return state, obs
+
+    def render(self, state, camera_name="agentview", height=84, width=84):
+        """Render with this episode's sampled visual overrides."""
+        from robosuite_tpu.physics import kinematics
+        from robosuite_tpu.renderers.raycast import render_camera
+
+        if not hasattr(self, "_render_jit"):
+            def _r(qpos, visual):
+                kin = kinematics.fk(self.env.model, qpos)
+                return render_camera(self.env.model, kin, camera_name, height, width,
+                                     visual=visual)
+
+            self._render_jit = jax.jit(_r)
+        return self._render_jit(state.physics.qpos, self.visual_overrides or {})
 
     def step(self, state, action):
         return self._step_jit(state, jnp.asarray(action), self.overrides)

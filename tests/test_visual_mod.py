@@ -1,0 +1,157 @@
+"""Visual randomization + segmentation + CameraMover tests.
+
+Covers the TPU-native analogs of the reference's TextureModder /
+LightingModder / CameraModder (utils/mjmod.py:62,518,782), camera
+segmentation (camera_utils.py:90-103, robot_env.py:452-517), and
+CameraMover (camera_utils.py:246-419).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import robosuite_tpu
+from robosuite_tpu.models import spec as S
+from robosuite_tpu.physics import kinematics
+from robosuite_tpu.renderers.raycast import render_camera, render_segmentation
+from robosuite_tpu.utils.mjmod import (
+    CameraModder,
+    LightingModder,
+    TextureModder,
+    sample_visual_overrides,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_world():
+    """Plane + one box + camera, small and fast to render."""
+    ms = S.ModelSpec("seg_world")
+    ms.worldbody.geoms.append(
+        S.GeomSpec(name="floor", type="plane", size=(2, 2, 0.1), rgba=(0.2, 0.4, 0.2, 1))
+    )
+    box = S.BodySpec(name="box", pos=(0, 0, 0.05))
+    box.joints.append(S.JointSpec(name="box_j", type="free"))
+    box.geoms.append(
+        S.GeomSpec(name="box_g", type="box", size=(0.05, 0.05, 0.05), rgba=(0.9, 0.1, 0.1, 1))
+    )
+    ms.worldbody.children.append(box)
+    # identity-quat MuJoCo camera looks along -z: straight down at the box
+    ms.worldbody.cameras.append(
+        S.CameraSpec(name="cam", pos=(0.0, 0, 0.8), quat=(1.0, 0, 0, 0), fovy=45)
+    )
+    model = ms.compile()
+    kin = kinematics.fk(model, model.qpos0)
+    return model, kin
+
+
+def test_model_carries_rgba(tiny_world):
+    model, _ = tiny_world
+    rgba = np.asarray(model.geom_rgba)
+    assert rgba.shape == (model.ngeom, 4)
+    fid = model.geom_name2id("floor")
+    np.testing.assert_allclose(rgba[fid], [0.2, 0.4, 0.2, 1.0])
+
+
+def test_render_uses_model_colors(tiny_world):
+    model, kin = tiny_world
+    rgb, depth = jax.jit(lambda k: render_camera(model, k, "cam", 48, 48))(kin)
+    rgb = np.asarray(rgb)
+    assert rgb.shape == (48, 48, 3)
+    # the red box should dominate some pixels: red channel clearly above green
+    red_pixels = (rgb[..., 0] > rgb[..., 1] + 0.2).sum()
+    assert red_pixels > 5
+
+
+def test_visual_overrides_change_image(tiny_world):
+    model, kin = tiny_world
+    base, _ = render_camera(model, kin, "cam", 32, 32)
+    ov = sample_visual_overrides(model, jax.random.PRNGKey(3))
+    assert {"geom_rgb", "light_dir", "ambient", "diffuse", "cam_dpos", "fovy_scale"} <= set(ov)
+    mod, _ = render_camera(model, kin, "cam", 32, 32, visual=ov)
+    assert float(jnp.abs(base - mod).max()) > 0.01
+
+
+def test_modders_sample_shapes(tiny_world):
+    model, _ = tiny_world
+    k = jax.random.PRNGKey(0)
+    assert TextureModder(model).sample(k)["geom_rgb"].shape == (model.ngeom, 3)
+    lo = LightingModder(model).sample(k)
+    np.testing.assert_allclose(float(jnp.linalg.norm(lo["light_dir"])), 1.0, atol=1e-5)
+    co = CameraModder(model).sample(k)
+    assert co["cam_dpos"].shape == (3,)
+
+
+def test_segmentation_labels(tiny_world):
+    model, kin = tiny_world
+    seg = np.asarray(jax.jit(lambda k: render_segmentation(model, k, "cam", 48, 48))(kin))
+    assert seg.shape == (48, 48)
+    ids = set(np.unique(seg).tolist())
+    # floor, box, and possibly background must appear with their geom ids
+    assert model.geom_name2id("floor") in ids
+    assert model.geom_name2id("box_g") in ids
+
+
+def test_traced_camera_pose_matches_model_pose(tiny_world):
+    model, kin = tiny_world
+    cid = model.cam_name2id("cam")
+    base, _ = render_camera(model, kin, "cam", 32, 32)
+    posed, _ = render_camera(
+        model, kin, "cam", 32, 32,
+        visual={
+            "cam_pos_local": jnp.asarray(model.cam_pos)[cid],
+            "cam_quat_local": jnp.asarray(model.cam_quat)[cid],
+        },
+    )
+    np.testing.assert_allclose(np.asarray(base), np.asarray(posed), atol=1e-5)
+
+
+# --- env-level: id mappings + CameraMover ------------------------------------
+
+
+@pytest.fixture(scope="module")
+def lift_env():
+    return robosuite_tpu.make("Lift", robots="Panda")
+
+
+def test_generate_id_mappings(lift_env):
+    inst_map, cls_map = lift_env.task.generate_id_mappings(lift_env.model)
+    instances = set(inst_map.values())
+    assert "arena" in instances
+    assert any(i.startswith("robot") for i in instances)
+    assert "cube" in instances
+    # every mapped geom id is valid and classes align with instances
+    for gid, inst in inst_map.items():
+        assert 0 <= gid < lift_env.model.ngeom
+        assert gid in cls_map
+
+
+def test_camera_mover_roundtrip(lift_env):
+    from robosuite_tpu.utils.camera_utils import CameraMover
+
+    mover = CameraMover(lift_env, camera="agentview")
+    pos0, quat0 = mover.get_camera_pose()
+    mover.move_camera((0, 0, 1.0), 0.1)  # along camera z
+    pos1, _ = mover.get_camera_pose()
+    assert np.linalg.norm(pos1 - pos0) == pytest.approx(0.1, abs=1e-6)
+    mover.rotate_camera(point=(0, 0, 0), axis=(0, 0, 1), angle=90.0)
+    _, quat2 = mover.get_camera_pose()
+    assert not np.allclose(quat2, quat0)
+    # restore
+    mover.set_camera_pose(pos=pos0, quat=quat0)
+    pos3, quat3 = mover.get_camera_pose()
+    np.testing.assert_allclose(pos3, pos0, atol=1e-7)
+    np.testing.assert_allclose(quat3, quat0, atol=1e-7)
+
+
+def test_dr_wrapper_visual(lift_env):
+    from robosuite_tpu.wrappers.domain_randomization_wrapper import DomainRandomizationWrapper
+
+    wrapped = DomainRandomizationWrapper(
+        lift_env, randomize_color=True, randomize_lighting=True, randomize_camera=True
+    )
+    state, _ = wrapped.reset(jax.random.PRNGKey(0))
+    assert wrapped.visual_overrides is not None
+    rgb, depth = wrapped.render(state, height=32, width=32)
+    assert rgb.shape == (32, 32, 3)
+    assert np.isfinite(np.asarray(rgb)).all()
