@@ -88,8 +88,16 @@ def fk(model, qpos) -> KinData:
                 sdof_ang[dadr] = axis_w
                 sdof_lin[dadr] = jnp.cross(anchor, axis_w)
 
-        xpos[b] = pos
-        xquat[b] = quat
+        # Materialization fence, once per body. The pose recursion is a
+        # depth-(tree height) expression DAG of quaternion ops; XLA's loop
+        # fusion re-expands producers per use inside a fusion (index-dependent
+        # emission defeats its memoization), which turns that DAG into an
+        # exponentially-sized expression tree — observed as ~18 s per FK call
+        # for a mobile manipulator. Fencing each body's pose caps every
+        # fusion's producer depth at one tree level.
+        import jax
+
+        xpos[b], xquat[b] = jax.lax.optimization_barrier((pos, quat))
 
     xpos = jnp.stack(xpos)
     xquat = jnp.stack(xquat)
