@@ -360,9 +360,10 @@ class RobotEnv:
             ctrl = jnp.zeros(model.nu, dtype=phys.qpos.dtype)
             for r, cs in zip(self.robots, ctrl_states):
                 ctrl = r.run_controllers(kin, M, bias, phys.qpos, phys.qvel, cs, ctrl)
-            new_phys = engine.integrate(model, phys, ctrl, kin, M, bias)
-            return new_phys, ()
+            return engine.integrate(model, phys, ctrl, kin, M, bias), ()
 
+        # cold-start contact solve per substep: threading the warm start
+        # through the carry measured slower on v5e (see engine.step_n note)
         physics, _ = jax.lax.scan(substep, physics, None, length=self.n_substeps)
 
         kin, _, _ = engine.forward_products(model, physics)

@@ -365,28 +365,58 @@ def _impedance(solimp, x):
     return d0 + y * (dmax - d0)
 
 
-def contact_forces(model, kin, con, Lm, qvel, qacc_smooth, dt, eq=None):
-    """Solve for contact forces; return qfrc_contact (nv,).
+def contact_warmstart_dim(model):
+    """Length of the solver's flat force vector for this model (static):
+    3*K cone rows + bilateral equality rows."""
+    nc_total = 0
+    for k in range(model.npair):
+        t1 = model.geom_type[model.pair_geom1[k]]
+        t2 = model.geom_type[model.pair_geom2[k]]
+        nc_total += pair_max_points(t1, t2)
+    K = min(32, nc_total)
+    ne = 0
+    if model.neq:
+        from robosuite_tpu.physics.equality import equality_row_count
+
+        ne = equality_row_count(model)
+    return K * 3 + ne
+
+
+def constrained_vel_update(model, kin, con, M, qvel, qfrc_smooth, dt, eq=None):
+    """Full constrained velocity update for one substep:
+    qacc_smooth solve + cone QP + implicit-damping integration, returning
+    (qvel_new (nv,), f (flat solver forces)).
 
     Implements the MuJoCo-style soft-constraint dual problem:
       A = J M^-1 J^T,  R = diag((1-d)/d * A_ii, friction rows / impratio)
       aref = -b * (J qvel) - k * dist          (per solref/solimp)
-      solve (A + R) f = aref - a0 with f in the friction cone via APGD.
+      solve (A + R) f = aref - a0 with f in the friction cone via APGD,
+    then (M + dt diag(damping)) dv = qfrc_smooth + J^T f - damping qvel.
 
-    Lm is the Cholesky factor of the mass matrix (shared with the
-    integrator).
+    On TPU under vmap the whole update runs as ONE Pallas kernel with all
+    operands VMEM-resident across APGD iterations (ops/pallas_contact.py);
+    the XLA fori_loop version re-streamed ~20 MB/iteration from HBM.
     """
+    damping = model.dof_damping
+
+    def vel_from_qfrc_con(qfrc_con):
+        Mh = M + dt * jnp.diag(damping)
+        rhs = qfrc_smooth + qfrc_con - damping * qvel
+        return qvel + dt * fastla.solve_spd(Mh, rhs)
+
     if con is None and eq is None:
-        return jnp.zeros(model.nv, dtype=qvel.dtype)
+        return vel_from_qfrc_con(0.0), jnp.zeros(0, dtype=qvel.dtype)
     if con is None:
         # equality-only system: solve bilateral rows directly
         J_eq, aref_eq = eq
+        Lm = fastla.chol_factor(M)
+        qacc_smooth = fastla.chol_solve(Lm, qfrc_smooth - damping * qvel)
         MinvJT = fastla.chol_solve(Lm, J_eq.T)
         A = J_eq @ MinvJT
         rhs = aref_eq - J_eq @ qacc_smooth
         reg = 0.05 * jnp.maximum(jnp.diagonal(A), 1e-8)
         f = fastla.solve_spd(A + jnp.diag(reg), rhs)
-        return J_eq.T @ f
+        return vel_from_qfrc_con(J_eq.T @ f), f
 
     nc_total = con["dist"].shape[0]
     nv = model.nv
@@ -454,15 +484,7 @@ def contact_forces(model, kin, con, Lm, qvel, qacc_smooth, dt, eq=None):
 
     # active contacts (include margin)
     pen = -(dist - margin)  # > 0 when violating
-    active = pen > 0.0
-
-    # MATRIX-FREE operator: A x = Jf (M^-1 Jf^T) x. The dense (3nc x 3nc)
-    # A does not fit the memory budget once batched (e.g. 256 x 700 x 700
-    # floats = 500 MB, re-read every APGD iteration -> HBM-bound); keeping
-    # only Jf and MinvJT (3nc x nv each) makes every matvec two skinny
-    # matmuls.
-    Jf = J.reshape(nc * 3, nv)
-    MinvJT = fastla.chol_solve(Lm, Jf.T)  # (nv, 3nc)
+    active = (pen > 0.0).astype(qvel.dtype)
 
     # impedance + solref dynamics
     d = _impedance(solimp, pen)  # (nc,)
@@ -480,89 +502,31 @@ def contact_forces(model, kin, con, Lm, qvel, qacc_smooth, dt, eq=None):
     # friction rows carry the damping term only (MuJoCo semantics) so the
     # solver drives tangential slip velocity toward zero within the cone
     aref_n = -b * vel[:, 0] + k * pen
-    aref = jnp.stack([aref_n, -b * vel[:, 1], -b * vel[:, 2]], axis=-1)
 
-    # unconstrained contact-frame acceleration (excluding Jdot qdot, which is
-    # second-order at dt=2ms and absorbed by the damping term)
-    a0 = (Jf @ qacc_smooth).reshape(nc, 3)
-
-    # regularizer: R_i = (1-d)/d * diag(A); friction rows scaled by impratio
-    diagA = jnp.sum(Jf * MinvJT.T, axis=-1).reshape(nc, 3)
+    # --- grouped-row cone QP, solved by the Pallas APGD kernel --------------
+    # rows ordered [normals | t1 | t2 | equality] so the cone projection is
+    # three contiguous block ops on TPU (ops/pallas_contact.py); the
+    # regularizer base carries the per-row scaling ((1-d)/d, impratio on
+    # friction rows, 0.05 on bilateral rows) with diag(A) applied in-solver.
     reg_base = (1.0 - d) / d
-    R = jnp.stack(
-        [
-            reg_base * jnp.maximum(diagA[:, 0], 1e-8),
-            reg_base * jnp.maximum(diagA[:, 1], 1e-8) / model.impratio,
-            reg_base * jnp.maximum(diagA[:, 2], 1e-8) / model.impratio,
-        ],
-        axis=-1,
-    )
-    Rflat = R.reshape(nc * 3)
-
-    rhs = (aref - a0).reshape(nc * 3)
-
-    # bilateral equality rows appended to the system (no cone projection)
+    Jf_rows = [J[:, 0, :], J[:, 1, :], J[:, 2, :]]
+    aref_rows = [aref_n, -b * vel[:, 1], -b * vel[:, 2]]
+    reg_rows = [reg_base, reg_base / model.impratio, reg_base / model.impratio]
     ne = 0
     if eq is not None:
         J_eq, aref_eq = eq
         ne = J_eq.shape[0]
-        MinvJT_eq = fastla.chol_solve(Lm, J_eq.T)
-        diagA_eq = jnp.sum(J_eq * MinvJT_eq.T, axis=-1)
-        R_eq = 0.05 * jnp.maximum(diagA_eq, 1e-8)
-        Jf = jnp.concatenate([Jf, J_eq])
-        MinvJT = jnp.concatenate([MinvJT, MinvJT_eq], axis=1)
-        Rflat = jnp.concatenate([Rflat, R_eq])
-        rhs = jnp.concatenate([rhs, aref_eq - J_eq @ qacc_smooth])
+        Jf_rows.append(J_eq)
+        aref_rows.append(aref_eq)
+        reg_rows.append(0.05 * jnp.ones(ne, dtype=qvel.dtype))
 
+    Jf = jnp.concatenate(Jf_rows)             # (ntot, nv) grouped
+    aref = jnp.concatenate(aref_rows)
+    reg3 = jnp.concatenate(reg_rows)
     mu = friction[:, 0]
-
-    def project(f3):
-        """Friction-cone projection, batched over contacts (nc, 3)."""
-        fn = jnp.maximum(f3[:, 0], 0.0)
-        ft = f3[:, 1:]
-        tnorm = jnp.linalg.norm(ft, axis=-1)
-        scale = jnp.minimum(1.0, mu * fn / jnp.maximum(tnorm, 1e-9))
-        return jnp.concatenate([fn[:, None], ft * scale[:, None]], axis=-1)
-
-    active_f = active.astype(qvel.dtype)[:, None]
-
-    # APGD (Nesterov-accelerated projected gradient) on the cone QP
-    #   min 1/2 f^T (A + R) f - f^T rhs   s.t. f in friction cone
-    # Fully parallel per iteration (serial depth ~ n_iter, unlike
-    # Gauss-Seidel) and convergent where block-Jacobi diverges on strongly
-    # coupled stacks. Step size 1/L with L from a few power iterations.
     ntot = nc * 3 + ne
 
-    def matvec(x):
-        return Jf @ (MinvJT @ x) + Rflat * x
+    from robosuite_tpu.ops.pallas_contact import make_vel_solver
 
-    def project_flat(x):
-        fc = project(x[: nc * 3].reshape(nc, 3)) * active_f
-        if ne:
-            return jnp.concatenate([fc.reshape(-1), x[nc * 3 :]])
-        return fc.reshape(-1)
-
-    # power iteration for the Lipschitz constant
-    def power_body(_, v):
-        w = matvec(v)
-        return w / jnp.maximum(jnp.linalg.norm(w), 1e-9)
-
-    v0 = jnp.ones(ntot, dtype=qvel.dtype)
-    v0 = v0 / jnp.maximum(jnp.linalg.norm(v0), 1e-9)
-    v = jax.lax.fori_loop(0, POWER_ITERS, power_body, v0)
-    L = jnp.maximum(jnp.sum(v * matvec(v)), 1e-6)
-    inv_L = 1.0 / (1.1 * L)
-
-    def apgd_iter(_, carry):
-        f, y, t = carry
-        g = matvec(y) - rhs
-        f_new = project_flat(y - inv_L * g)
-        t_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
-        y_new = f_new + ((t - 1.0) / t_new) * (f_new - f)
-        return f_new, y_new, t_new
-
-    f0 = jnp.zeros(ntot, dtype=qvel.dtype)
-    f, _, _ = jax.lax.fori_loop(0, APGD_ITERS, apgd_iter, (f0, f0, jnp.asarray(1.0, dtype=qvel.dtype)))
-
-    qfrc = Jf.T @ f
-    return qfrc
+    solver = make_vel_solver(nv, ntot, nc, ne, APGD_ITERS, POWER_ITERS, float(dt))
+    return solver(M, Jf.T, aref, qfrc_smooth, qvel, damping, reg3, mu, active)

@@ -201,6 +201,20 @@ def rnea_bias(model, kin, qvel):
     return qfrc
 
 
+def _scalar_joint_index(model):
+    """Static (qadr, dadr, jids) arrays for all 1-dof (hinge/slide) joints —
+    lets the per-joint force loops collapse into one gather/scatter pair."""
+    from robosuite_tpu.models import spec as S
+
+    jids = np.array(
+        [j for j in range(model.njnt) if model.jnt_type[j] in (S.HINGE, S.SLIDE)],
+        dtype=np.int32,
+    )
+    qadr = np.array([model.jnt_qposadr[j] for j in jids], dtype=np.int32)
+    dadr = np.array([model.jnt_dofadr[j] for j in jids], dtype=np.int32)
+    return qadr, dadr, jids
+
+
 def passive_forces(model, qpos, qvel):
     """Joint springs + (explicit part of) damping.
 
@@ -209,39 +223,29 @@ def passive_forces(model, qpos, qvel):
     Returns spring force only; damping handled by the integrator.
     """
     qfrc = jnp.zeros_like(qvel)
-    for j in range(model.njnt):
-        from robosuite_tpu.models import spec as S
-
-        if model.jnt_type[j] in (S.HINGE, S.SLIDE):
-            qadr, dadr = model.jnt_qposadr[j], model.jnt_dofadr[j]
-            qfrc = qfrc.at[dadr].add(
-                -model.jnt_stiffness[j] * (qpos[qadr] - model.qpos_spring[qadr])
-            )
-    return qfrc
+    qadr, dadr, jids = _scalar_joint_index(model)
+    if len(jids) == 0:
+        return qfrc
+    f = -model.jnt_stiffness[jids] * (qpos[qadr] - model.qpos_spring[qadr])
+    return qfrc.at[dadr].add(f)
 
 
 def joint_limit_forces(model, qpos, qvel, solref=(0.02, 1.0)):
     """Compliant joint-limit forces (penalty analog of MuJoCo's limit
     constraints). Active only outside jnt_range for limited hinge/slide."""
-    from robosuite_tpu.models import spec as S
-
     qfrc = jnp.zeros_like(qvel)
+    qadr, dadr, jids = _scalar_joint_index(model)
+    if len(jids) == 0:
+        return qfrc
     timeconst, dampratio = solref
-    for j in range(model.njnt):
-        if model.jnt_type[j] not in (S.HINGE, S.SLIDE):
-            continue
-        qadr, dadr = model.jnt_qposadr[j], model.jnt_dofadr[j]
-        q = qpos[qadr]
-        lo, hi = model.jnt_range[j, 0], model.jnt_range[j, 1]
-        # penetration depth beyond limits (positive when violated)
-        d_lo = lo - q
-        d_hi = q - hi
-        # critically-damped spring in the violated direction
-        k = 1.0 / (timeconst * timeconst * dampratio * dampratio)
-        b = 2.0 / timeconst
-        f = (
-            jnp.where(d_lo > 0, k * d_lo - b * qvel[dadr], 0.0)
-            + jnp.where(d_hi > 0, -k * d_hi - b * qvel[dadr], 0.0)
-        )
-        qfrc = qfrc.at[dadr].add(model.jnt_limited[j] * f)
-    return qfrc
+    q = qpos[qadr]
+    v = qvel[dadr]
+    lo = model.jnt_range[jids, 0]
+    hi = model.jnt_range[jids, 1]
+    d_lo = lo - q  # positive when violated
+    d_hi = q - hi
+    k = 1.0 / (timeconst * timeconst * dampratio * dampratio)
+    b = 2.0 / timeconst
+    f = jnp.where(d_lo > 0, k * d_lo - b * v, 0.0) + jnp.where(d_hi > 0, -k * d_hi - b * v, 0.0)
+    limited = jnp.asarray(model.jnt_limited)[jids]
+    return qfrc.at[dadr].add(limited * f)

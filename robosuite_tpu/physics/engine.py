@@ -27,56 +27,78 @@ from robosuite_tpu.ops import linalg as fastla
 
 def actuator_forces(model, qpos, qvel, ctrl):
     """Map actuator controls to generalized forces (MuJoCo transmission:
-    joint, gear scaling; motor/position/velocity gain-bias models)."""
+    joint, gear scaling; motor/position/velocity gain-bias models).
+
+    Vectorized over all actuators in one gather/scatter pass (the per-
+    actuator loop emitted ~5 sequential HLO ops per actuator per substep)."""
     qfrc = jnp.zeros_like(qvel)
-    for a in range(model.nu):
-        j = model.actuator_jntid[a]
-        dadr = model.jnt_dofadr[j]
-        qadr = model.jnt_qposadr[j]
-        gear = model.actuator_gear[a]
-        c = ctrl[a]
-        c = jnp.where(
-            model.actuator_ctrllimited[a] > 0,
-            jnp.clip(c, model.actuator_ctrlrange[a, 0], model.actuator_ctrlrange[a, 1]),
-            c,
-        )
-        kind = model.actuator_kind[a]
-        if kind == "motor":
-            force = c
-        elif kind == "position":
-            kp = model.actuator_gainprm[a]
-            # MuJoCo position actuator: critically damped default kv=0 unless set
-            force = kp * (c - qpos[qadr] * gear)  # length = gear * qpos
-        else:  # velocity
-            kv = model.actuator_gainprm[a]
-            force = kv * (c - qvel[dadr] * gear)
-        force = jnp.where(
-            model.actuator_forcelimited[a] > 0,
-            jnp.clip(force, model.actuator_forcerange[a, 0], model.actuator_forcerange[a, 1]),
-            force,
-        )
-        qfrc = qfrc.at[dadr].add(gear * force)
-    return qfrc
+    if model.nu == 0:
+        return qfrc
+    import numpy as np
+
+    jids = np.array([model.actuator_jntid[a] for a in range(model.nu)], dtype=np.int32)
+    dadr = np.array([model.jnt_dofadr[j] for j in jids], dtype=np.int32)
+    qadr = np.array([model.jnt_qposadr[j] for j in jids], dtype=np.int32)
+    # static kind selectors (0 motor, 1 position, 2 velocity)
+    kind = np.array(
+        [{"motor": 0, "position": 1, "velocity": 2}[model.actuator_kind[a]] for a in range(model.nu)],
+        dtype=np.int32,
+    )
+    is_pos = jnp.asarray((kind == 1).astype(np.float32))
+    is_vel = jnp.asarray((kind == 2).astype(np.float32))
+    is_motor = jnp.asarray((kind == 0).astype(np.float32))
+
+    gear = model.actuator_gear
+    c = jnp.where(
+        model.actuator_ctrllimited > 0,
+        jnp.clip(ctrl, model.actuator_ctrlrange[:, 0], model.actuator_ctrlrange[:, 1]),
+        ctrl,
+    )
+    g = model.actuator_gainprm
+    force = (
+        is_motor * c
+        + is_pos * g * (c - qpos[qadr] * gear)   # length = gear * qpos
+        + is_vel * g * (c - qvel[dadr] * gear)
+    )
+    force = jnp.where(
+        model.actuator_forcelimited > 0,
+        jnp.clip(force, model.actuator_forcerange[:, 0], model.actuator_forcerange[:, 1]),
+        force,
+    )
+    return qfrc.at[dadr].add(gear * force)
 
 
 def _integrate_qpos(model, qpos, qvel_new, dt):
-    """Position update with the new velocities (MuJoCo mj_integratePos)."""
+    """Position update with the new velocities (MuJoCo mj_integratePos).
+
+    All 1-dof joints integrate in one gather/scatter; free-joint translations
+    batch into a second scatter; only quaternion joints (free rotation /
+    ball) remain per-joint (typically 1-2 per world)."""
+    import numpy as np
+
+    from robosuite_tpu.physics.dynamics import _scalar_joint_index
     from robosuite_tpu.utils import transforms as T
 
     out = qpos
+    qadr1, dadr1, _ = _scalar_joint_index(model)
+    if len(qadr1):
+        out = out.at[qadr1].add(dt * qvel_new[dadr1])
+
+    free = [j for j in range(model.njnt) if model.jnt_type[j] == S.FREE]
+    if free:
+        tq = np.concatenate([np.arange(model.jnt_qposadr[j], model.jnt_qposadr[j] + 3) for j in free])
+        td = np.concatenate([np.arange(model.jnt_dofadr[j], model.jnt_dofadr[j] + 3) for j in free])
+        out = out.at[tq].add(dt * qvel_new[td])
     for j in range(model.njnt):
         t = model.jnt_type[j]
         qadr = model.jnt_qposadr[j]
         dadr = model.jnt_dofadr[j]
         if t == S.FREE:
-            out = out.at[qadr : qadr + 3].add(dt * qvel_new[dadr : dadr + 3])
             q = T.quat_integrate_wxyz(out[qadr + 3 : qadr + 7], qvel_new[dadr + 3 : dadr + 6], dt)
             out = out.at[qadr + 3 : qadr + 7].set(q)
         elif t == S.BALL:
             q = T.quat_integrate_wxyz(out[qadr : qadr + 4], qvel_new[dadr : dadr + 3], dt)
             out = out.at[qadr : qadr + 4].set(q)
-        else:
-            out = out.at[qadr].add(dt * qvel_new[dadr])
     return out
 
 
@@ -112,37 +134,49 @@ def forward_products(model, state: State):
     return kin, M, bias
 
 
-def integrate(model, state: State, ctrl, kin, M, bias) -> State:
+def warmstart_zeros(model, dtype=jnp.float32):
+    """Zero contact-solver warm start (shape is static per model)."""
+    return jnp.zeros(contact_mod.contact_warmstart_dim(model), dtype=dtype)
+
+
+def integrate(model, state: State, ctrl, kin, M, bias, warm=None):
     """mj_step2 analog: forces + contacts + semi-implicit integration, given
-    precomputed forward products."""
+    precomputed forward products.
+
+    `warm` (optional) selects the (state, solver_forces) return form for
+    callers that track the contact solution."""
     dt = model.timestep
     qfrc_smooth = _total_smooth_force(model, state, ctrl, kin, bias)
 
-    Mh = M + dt * jnp.diag(model.dof_damping)
-    Lm = fastla.chol_factor(M)
-    qacc_smooth = fastla.chol_solve(Lm, qfrc_smooth - model.dof_damping * state.qvel)
     con = contact_mod.narrowphase(model, kin)
     from robosuite_tpu.physics.equality import equality_rows
 
     eq = equality_rows(model, kin, state.qpos, state.qvel) if model.neq else None
-    qfrc_con = contact_mod.contact_forces(model, kin, con, Lm, state.qvel, qacc_smooth, dt, eq=eq)
+    qvel_new, f = contact_mod.constrained_vel_update(
+        model, kin, con, M, state.qvel, qfrc_smooth, dt, eq=eq
+    )
 
-    rhs = qfrc_smooth + qfrc_con
-    qvel_new = state.qvel + dt * fastla.solve_spd(Mh, rhs - model.dof_damping * state.qvel)
     qpos_new = _integrate_qpos(model, state.qpos, qvel_new, dt)
-    return State(qpos=qpos_new, qvel=qvel_new, time=state.time + dt)
+    new_state = State(qpos=qpos_new, qvel=qvel_new, time=state.time + dt)
+    return (new_state, f) if warm is not None else new_state
 
 
-def step(model, state: State, ctrl) -> State:
+def step(model, state: State, ctrl, warm=None):
     """One physics substep at model.timestep (mj_step analog)."""
     kin, M, bias = forward_products(model, state)
-    return integrate(model, state, ctrl, kin, M, bias)
+    return integrate(model, state, ctrl, kin, M, bias, warm=warm)
 
 
 @partial(jax.jit, static_argnums=(3,))
 def step_n(model, state: State, ctrl, n: int) -> State:
     """n substeps under one ctrl (the reference's 25-substep policy loop,
-    environments/base.py:494, as a lax.scan)."""
+    environments/base.py:494, as a lax.scan).
+
+    Note: threading the contact-solver warm start through the scan carry was
+    measured SLOWER on v5e (+17% per policy step) — the f-vector dependency
+    serializes substep n+1's narrowphase behind substep n's APGD tail, and
+    the solver iterations it saves were not on the critical path. Cold-start
+    APGD each substep; `integrate(warm=...)` remains for host-side callers."""
 
     def body(s, _):
         return step(model, s, ctrl), ()

@@ -16,6 +16,13 @@ from robosuite_tpu.physics import kinematics as K
 from robosuite_tpu.utils import transforms as T
 
 
+def equality_row_count(model) -> int:
+    """Static number of bilateral rows (3/connect, 6/weld, 1/joint)."""
+    return sum(
+        {"connect": 3, "weld": 6}.get(model.eq_kind[i], 1) for i in range(model.neq)
+    )
+
+
 def equality_rows(model, kin, qpos, qvel):
     """-> (J_eq (ne, nv), aref_eq (ne,), reg_scale (ne,)) or None.
 

@@ -55,15 +55,13 @@ def main():
     np_b = jax.jit(jax.vmap(lambda k: contact_mod.narrowphase(model, kin=k)))
     con = bench("narrowphase", np_b, kin)
 
-    Lm = jax.jit(jax.vmap(fastla.chol_factor))(M)
-
-    def contact_only(k, lm, v):
+    def contact_only(k, m, v):
         c = contact_mod.narrowphase(model, k)
-        qacc = jnp.zeros_like(v)
-        return contact_mod.contact_forces(model, k, c, lm, v, qacc, model.timestep)
+        qfrc = jnp.zeros_like(v)
+        return contact_mod.constrained_vel_update(model, k, c, m, v, qfrc, model.timestep)[0]
 
     cf_b = jax.jit(jax.vmap(contact_only))
-    bench("narrow+contact(APGD)", cf_b, kin, Lm, qvel)
+    bench("narrow+contact(APGD)", cf_b, kin, M, qvel)
 
     ctrl = jnp.zeros((BATCH, model.nu), dtype=qpos.dtype)
     step_b = jax.jit(jax.vmap(lambda s, c: engine.step(model, s, c)))
