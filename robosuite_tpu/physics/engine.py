@@ -13,8 +13,6 @@ the new velocities (quaternion exponential for free/ball joints).
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 
@@ -127,11 +125,15 @@ def _total_smooth_force(model, state, ctrl, kin, bias):
 
 def forward_products(model, state: State):
     """(kin, M, bias): the per-substep quantities shared between the
-    controller layer (mj_step1 analog) and the integrator."""
-    kin = kinematics.fk(model, state.qpos)
-    M = dynamics.crba(model, kin)
-    bias = dynamics.rnea_bias(model, kin, state.qvel)
-    return kin, M, bias
+    controller layer (mj_step1 analog) and the integrator.
+
+    On TPU under vmap this runs as ONE fused Pallas kernel (FK + CRBA + RNEA
+    batch-minor, ops/pallas_forward.py); elsewhere the XLA reference path."""
+    from robosuite_tpu.ops.pallas_forward import make_forward_solver
+
+    fp = make_forward_solver(model)
+    return fp(state.qpos, state.qvel, model.body_mass, model.body_inertia,
+              model.gravity, model.dof_armature)
 
 
 def warmstart_zeros(model, dtype=jnp.float32):
@@ -167,10 +169,11 @@ def step(model, state: State, ctrl, warm=None):
     return integrate(model, state, ctrl, kin, M, bias, warm=warm)
 
 
-@partial(jax.jit, static_argnums=(3,))
 def step_n(model, state: State, ctrl, n: int) -> State:
     """n substeps under one ctrl (the reference's 25-substep policy loop,
-    environments/base.py:494, as a lax.scan).
+    environments/base.py:494, as a lax.scan). Not self-jitted: an inner jit
+    breaks custom_vmap tracing under an outer vmap (vmap->jit->scan->
+    custom_vmap); wrap calls in jax.jit at the top level.
 
     Note: threading the contact-solver warm start through the scan carry was
     measured SLOWER on v5e (+17% per policy step) — the f-vector dependency
