@@ -12,6 +12,26 @@ Public surface mirrors the reference's: `robosuite_tpu.make(env, robots=...)`
 
 __version__ = "0.1.0"
 
+import os as _os
+
+# Persistent XLA compilation cache: the 25-substep jitted policy step takes
+# minutes to compile cold; caching makes every process after the first start
+# in seconds. Opt out with RS_TPU_NO_COMPILE_CACHE=1.
+if not _os.environ.get("RS_TPU_NO_COMPILE_CACHE"):
+    import jax as _jax
+
+    _cache_dir = _os.environ.get(
+        "RS_TPU_COMPILE_CACHE_DIR",
+        _os.path.join(_os.path.expanduser("~"), ".cache", "robosuite_tpu_xla"),
+    )
+    try:
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # cache is an optimization, never a hard dependency
+        pass
+
 from robosuite_tpu import macros  # noqa: F401
 from robosuite_tpu.envs.base import ALL_ENVIRONMENTS, REGISTERED_ENVS, make  # noqa: F401
 

@@ -86,6 +86,8 @@ class RobotEnv:
         camera_heights=84,
         camera_widths=84,
         camera_depths=False,
+        gripper_types="default",
+        base_types="default",
         dtype=np.float32,
     ):
         self.robot_names = [robots] if isinstance(robots, str) else list(robots)
@@ -108,12 +110,21 @@ class RobotEnv:
             self.init_noise_mag = float(initialization_noise.get("magnitude", 0.02))
 
         # --- build robot models (reference robot_env.py:597 _load_robots) ----
+        # gripper_types / base_types: "default" -> per-robot default; a str /
+        # None applies to all robots; a list gives one per robot (reference
+        # robot_env.py:126-155 gripper_types plumbing).
+        def _per_robot(spec, i):
+            return spec[i] if isinstance(spec, (list, tuple)) else spec
+
         self.robot_models = []
         for i, name in enumerate(self.robot_names):
             rm = create_robot(name, idn=i)
-            rm.add_base(robot_base_factory(rm.default_base, idn=i))
+            base_t = _per_robot(base_types, i)
+            rm.add_base(robot_base_factory(rm.default_base if base_t == "default" else base_t, idn=i))
+            grip_t = _per_robot(gripper_types, i)
             for arm in rm.arms:
-                g = gripper_factory(rm.default_gripper[arm], idn=i, arm=arm)
+                gname = rm.default_gripper[arm] if grip_t == "default" else grip_t
+                g = gripper_factory(gname, idn=i, arm=arm)
                 rm.add_gripper(g, arm)
             self.robot_models.append(rm)
 

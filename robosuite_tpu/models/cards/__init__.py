@@ -44,6 +44,7 @@ def body_from_dict(d: dict) -> S.BodySpec:
                 range=j.get("range"), damping=j.get("damping", 0.0),
                 armature=j.get("armature", 0.0), frictionloss=j.get("frictionloss", 0.0),
                 stiffness=j.get("stiffness", 0.0),
+                ref=j.get("ref", 0.0), springref=j.get("springref", 0.0),
             )
         )
     for g in d.get("geoms", []):

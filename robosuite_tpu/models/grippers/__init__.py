@@ -128,6 +128,18 @@ class GripperModel:
         None -> binary ramped gripper (dof-1 open/close)."""
         return None
 
+    # Dexterous ramped variants (reference *DexterousGripper classes,
+    # jaco_three_finger_gripper.py:82-108, robotiq_three_finger_gripper.py:88-114):
+    # each action element ramps its own actuator (sign taken per element
+    # instead of on the scalar open/close command).
+    ramp_elementwise = False
+
+    def format_action_fixed(self):
+        """Per-actuator pinned command, NaN = free. Reference
+        robotiq_three_finger_gripper.py:78 pins the scissor joint to -1 in the
+        1-dof variant. None -> nothing pinned."""
+        return None
+
 
 @register_gripper
 class PandaGripper(GripperModel):
@@ -313,11 +325,39 @@ class XArm7Gripper(GripperModel):
 
 @register_gripper
 class RobotiqThreeFingerGripper(GripperModel):
-    """reference robotiq_three_finger_gripper.py (S-model)."""
+    """reference robotiq_three_finger_gripper.py (S-model): 1-dof ramp over
+    the three finger actuators, scissor pinned closed
+    (robotiq_three_finger_gripper.py:64-84)."""
 
     card_name = "robotiq_three_finger_gripper"
     dof = 1
     speed = 0.01
+
+    def format_action_fixed(self):
+        # actuator order finger_1, finger_2, middle_finger, finger_scissor;
+        # reference pins the scissor to -1 (robotiq_three_finger_gripper.py:78)
+        return np.array([np.nan, np.nan, np.nan, -1.0])
+
+
+@register_gripper
+class RobotiqThreeFingerDexterousGripper(RobotiqThreeFingerGripper):
+    """reference robotiq_three_finger_gripper.py:88-114: all three fingers
+    plus the scissor actuated independently (dof=4, per-element ramp)."""
+
+    dof = 4
+    ramp_elementwise = True
+
+    def format_action_fixed(self):
+        return None
+
+
+@register_gripper
+class JacoThreeFingerDexterousGripper(JacoThreeFingerGripper):
+    """reference jaco_three_finger_gripper.py:82-108: each of the three
+    fingers actuated independently (dof=3, per-element ramp)."""
+
+    dof = 3
+    ramp_elementwise = True
 
 
 @register_gripper

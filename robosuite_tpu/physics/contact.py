@@ -382,7 +382,7 @@ def contact_warmstart_dim(model):
     return K * 3 + ne
 
 
-def constrained_vel_update(model, kin, con, M, qvel, qfrc_smooth, dt, eq=None):
+def constrained_vel_update(model, kin, con, M, qvel, qfrc_smooth, dt, eq=None, damping=None):
     """Full constrained velocity update for one substep:
     qacc_smooth solve + cone QP + implicit-damping integration, returning
     (qvel_new (nv,), f (flat solver forces)).
@@ -396,8 +396,12 @@ def constrained_vel_update(model, kin, con, M, qvel, qfrc_smooth, dt, eq=None):
     On TPU under vmap the whole update runs as ONE Pallas kernel with all
     operands VMEM-resident across APGD iterations (ops/pallas_contact.py);
     the XLA fori_loop version re-streamed ~20 MB/iteration from HBM.
+
+    `damping` (default model.dof_damping) lets the caller fold in extra
+    state-dependent implicit damping (active joint-limit rows, engine.py).
     """
-    damping = model.dof_damping
+    if damping is None:
+        damping = model.dof_damping
 
     def vel_from_qfrc_con(qfrc_con):
         Mh = M + dt * jnp.diag(damping)

@@ -230,22 +230,33 @@ def passive_forces(model, qpos, qvel):
     return qfrc.at[dadr].add(f)
 
 
-def joint_limit_forces(model, qpos, qvel, solref=(0.02, 1.0)):
-    """Compliant joint-limit forces (penalty analog of MuJoCo's limit
-    constraints). Active only outside jnt_range for limited hinge/slide."""
+def joint_limit_forces(model, qpos, qvel, Mdiag=None, solref=(0.02, 1.0)):
+    """Compliant joint-limit forces (MuJoCo limit constraints as a
+    mass-scaled spring-damper, reference constraint impedance semantics:
+    stiffness/damping are per unit effective inertia, engine.c solref docs).
+
+    Returns (qfrc_spring, extra_damping): the spring part goes into the
+    smooth force; the damping part MUST be integrated implicitly — an
+    explicit b*v on a light finger link (inertia ~1e-5) diverges within a
+    few 2 ms substeps, which is exactly why MuJoCo solves limits inside the
+    constraint solver. `Mdiag` is diag(M) incl. armature (m_eff per dof)."""
     qfrc = jnp.zeros_like(qvel)
+    damp = jnp.zeros_like(qvel)
     qadr, dadr, jids = _scalar_joint_index(model)
     if len(jids) == 0:
-        return qfrc
+        return qfrc, damp
     timeconst, dampratio = solref
     q = qpos[qadr]
-    v = qvel[dadr]
     lo = model.jnt_range[jids, 0]
     hi = model.jnt_range[jids, 1]
     d_lo = lo - q  # positive when violated
     d_hi = q - hi
-    k = 1.0 / (timeconst * timeconst * dampratio * dampratio)
-    b = 2.0 / timeconst
-    f = jnp.where(d_lo > 0, k * d_lo - b * v, 0.0) + jnp.where(d_hi > 0, -k * d_hi - b * v, 0.0)
+    m_eff = Mdiag[dadr] if Mdiag is not None else jnp.ones_like(q)
+    # MuJoCo impedance with d=0.9, dmax=0.95 (default solimp flat region)
+    d_imp, dmax = 0.9, 0.95
+    k = d_imp / (dmax * dmax * timeconst * timeconst * dampratio * dampratio) * m_eff
+    b = 2.0 / (dmax * timeconst) * m_eff
+    f = k * (jnp.maximum(d_lo, 0.0) - jnp.maximum(d_hi, 0.0))
+    active = ((d_lo > 0) | (d_hi > 0)).astype(qfrc.dtype)
     limited = jnp.asarray(model.jnt_limited)[jids]
-    return qfrc.at[dadr].add(limited * f)
+    return qfrc.at[dadr].add(limited * f), damp.at[dadr].add(limited * active * b)

@@ -108,19 +108,23 @@ def forward(model, state: State, ctrl):
     kin = kinematics.fk(model, state.qpos)
     M = dynamics.crba(model, kin)
     bias = dynamics.rnea_bias(model, kin, state.qvel)
-    qfrc = _total_smooth_force(model, state, ctrl, kin, bias)
-    qacc = fastla.solve_spd(M, qfrc)
+    qfrc, extra_damp = _total_smooth_force(model, state, ctrl, kin, bias, M)
+    qacc = fastla.solve_spd(M, qfrc - extra_damp * state.qvel)
     return kin, M, bias, qacc
 
 
-def _total_smooth_force(model, state, ctrl, kin, bias):
+def _total_smooth_force(model, state, ctrl, kin, bias, M):
+    """-> (qfrc_smooth, extra_damping). extra_damping is the active joint-
+    limit damping, to be folded into the implicit (M + dt*diag(D)) solve."""
     qfrc_act = actuator_forces(model, state.qpos, state.qvel, ctrl)
     qfrc_spring = dynamics.passive_forces(model, state.qpos, state.qvel)
-    qfrc_limit = dynamics.joint_limit_forces(model, state.qpos, state.qvel)
+    qfrc_limit, extra_damp = dynamics.joint_limit_forces(
+        model, state.qpos, state.qvel, Mdiag=jnp.diagonal(M)
+    )
     # smooth approximation of dry friction loss (MuJoCo handles this in the
     # constraint solver; tanh regularization keeps it jit-friendly)
     qfrc_fric = -model.dof_frictionloss * jnp.tanh(state.qvel / 0.005)
-    return qfrc_act + qfrc_spring + qfrc_limit + qfrc_fric - bias
+    return qfrc_act + qfrc_spring + qfrc_limit + qfrc_fric - bias, extra_damp
 
 
 def forward_products(model, state: State):
@@ -148,14 +152,15 @@ def integrate(model, state: State, ctrl, kin, M, bias, warm=None):
     `warm` (optional) selects the (state, solver_forces) return form for
     callers that track the contact solution."""
     dt = model.timestep
-    qfrc_smooth = _total_smooth_force(model, state, ctrl, kin, bias)
+    qfrc_smooth, extra_damp = _total_smooth_force(model, state, ctrl, kin, bias, M)
 
     con = contact_mod.narrowphase(model, kin)
     from robosuite_tpu.physics.equality import equality_rows
 
     eq = equality_rows(model, kin, state.qpos, state.qvel) if model.neq else None
     qvel_new, f = contact_mod.constrained_vel_update(
-        model, kin, con, M, state.qvel, qfrc_smooth, dt, eq=eq
+        model, kin, con, M, state.qvel, qfrc_smooth, dt, eq=eq,
+        damping=model.dof_damping + extra_damp,
     )
 
     qpos_new = _integrate_qpos(model, state.qpos, qvel_new, dt)

@@ -261,7 +261,9 @@ class FixedBaseRobot:
     def _gripper_goal(self, arm, cur, grip_a, dtype):
         """Per-actuator gripper command in [-1, 1]. Binary grippers ramp
         (reference panda_gripper.py:42-55); dexterous hands map the dof-length
-        action directly onto actuators (inspire_hands.py:22-28)."""
+        action directly onto actuators (inspire_hands.py:22-28); dexterous
+        *ramped* grippers ramp each actuator from its own action element
+        (jaco_three_finger_gripper.py:82-108)."""
         grip = self.rm.grippers[arm]
         idx = grip.format_action_indices()
         if idx is not None:
@@ -269,7 +271,16 @@ class FixedBaseRobot:
         direction = jnp.asarray(grip.format_action_direction(), dtype=dtype)
         if cur.shape[0] != direction.shape[0]:
             cur = jnp.zeros_like(direction)
-        return jnp.clip(cur + direction * grip.speed * jnp.sign(grip_a[..., 0]), -1.0, 1.0)
+        if grip.ramp_elementwise:
+            new = jnp.clip(cur + direction * grip.speed * jnp.sign(grip_a), -1.0, 1.0)
+        else:
+            new = jnp.clip(cur + direction * grip.speed * jnp.sign(grip_a[..., 0]), -1.0, 1.0)
+        fixed = grip.format_action_fixed()
+        if fixed is not None:
+            fixed = np.asarray(fixed)
+            mask = jnp.asarray(~np.isnan(fixed))
+            new = jnp.where(mask, jnp.asarray(np.nan_to_num(fixed), dtype=dtype), new)
+        return new
 
     def run_controllers(self, kin, M, bias, qpos, qvel, ctrl_state: RobotCtrlState, ctrl):
         """Substep-rate torque computation; writes into the full (nu,) ctrl

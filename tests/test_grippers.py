@@ -14,7 +14,10 @@ def test_panda_gripper_grasps_and_lifts():
     assert out["lifted"], out
 
 
-@pytest.mark.parametrize("name", ["RethinkGripper"])
+@pytest.mark.parametrize(
+    "name",
+    ["RethinkGripper", "JacoThreeFingerDexterousGripper", "RobotiqThreeFingerDexterousGripper"],
+)
 def test_other_grippers_stable(name):
     """Other grippers at least run the harness stably (grasp success depends
     on finger geometry fidelity; tracked per-gripper)."""

@@ -70,6 +70,10 @@ def compile_ref(xml_rel):
     # pin inertia semantics to the in-world robosuite setting
     if compiler is None:
         compiler = ET.SubElement(root, "compiler")
+    # robosuite merges assets under base.xml's angle="radian"
+    # (models/assets/base.xml:3); match that here so euler-specified geom
+    # orientations land where they do in the merged world
+    compiler.set("angle", "radian")
     compiler.set("inertiagrouprange", "0 0")
     compiler.set("meshdir", os.path.abspath(os.path.join(base, meshdir)))
     compiler.set("boundmass", "0")

@@ -54,6 +54,7 @@ def body_to_dict(b: S.BodySpec):
                 "range": _clean(j.range) if j.range is not None else None,
                 "damping": _clean(j.damping), "armature": _clean(j.armature),
                 "frictionloss": _clean(j.frictionloss), "stiffness": _clean(j.stiffness),
+                "ref": _clean(j.ref), "springref": _clean(j.springref),
             }
             for j in b.joints
         ]
@@ -171,7 +172,18 @@ def main():
                 skipped.append((name, "missing file"))
                 continue
             try:
-                ms = parse_mjcf(path, name=name)
+                # robosuite merges every asset under base.xml's
+                # <compiler angle="radian"/> (models/assets/base.xml:3), so a
+                # file with no compiler tag of its own is radians in the
+                # merged world even though standalone MJCF would default to
+                # degrees. Inject the tag to match the merge semantics.
+                with open(path) as f:
+                    xml = f.read()
+                if "<compiler" not in xml:
+                    xml = xml.replace("<mujoco", "<mujoco", 1)
+                    idx = xml.index(">", xml.index("<mujoco")) + 1
+                    xml = xml[:idx] + '<compiler angle="radian"/>' + xml[idx:]
+                ms = parse_mjcf(xml, name=name)
                 card = spec_to_card(ms)
                 card["kind"] = group
                 out = os.path.join(OUT_DIR, f"{name}.json")
