@@ -14,6 +14,11 @@ plus the action-split bookkeeping as data.
 WHOLE_BODY_IK (reference :514-589) maps onto per-arm IK_POSE part
 controllers for fixed-base single/dual-arm robots (the composite IK policy
 reduces to per-arm differential IK when only arms are actuated).
+
+HYBRID_MOBILE_BASE (reference :234-291) appends a trailing base-mode switch
+dim to the action vector; at runtime (robosuite_tpu.robots.MobileRobot) the
+flag toggles the arm OSC goal frame between achieved (base parked) and
+desired/origin-referenced (base moving), matching reference :255-266.
 """
 
 from __future__ import annotations
@@ -23,26 +28,36 @@ from typing import Dict, List, Tuple
 
 from robosuite_tpu.controllers.factory import arm_controller_config
 
-REGISTERED_COMPOSITE_CONTROLLERS = ("BASIC", "WHOLE_BODY_IK")
+REGISTERED_COMPOSITE_CONTROLLERS = ("BASIC", "HYBRID_MOBILE_BASE", "WHOLE_BODY_IK")
 
 
 @dataclasses.dataclass(frozen=True)
 class CompositeControllerSpec:
     """Static description of a robot's composite controller."""
 
-    type: str                          # BASIC | WHOLE_BODY_IK
+    type: str                          # BASIC | HYBRID_MOBILE_BASE | WHOLE_BODY_IK
     arm_configs: Dict[str, object]     # arm name -> part-controller config
     gripper_dims: Dict[str, int]       # arm name -> gripper dof
+    part_dims: Dict[str, int] = dataclasses.field(default_factory=dict)
+    # non-arm part name (torso/head/base/legs) -> control dim, in the
+    # reference's composite ordering (mobile_robot.py:42-187)
 
     @property
     def action_split(self) -> List[Tuple[str, str, int]]:
         """[(part_name, kind, width)] in action-vector order
-        (reference composite_controller.py:86-95)."""
+        (reference composite_controller.py:86-95): arms, mobile parts,
+        grippers [, trailing base_mode for HYBRID_MOBILE_BASE :234-246]."""
         out = []
         for arm, cfg in self.arm_configs.items():
             out.append((arm, "arm", cfg.control_dim))
+        for part in ("torso", "head", "base", "legs"):
+            if self.part_dims.get(part, 0) > 0:
+                out.append((part, "mobile", self.part_dims[part]))
+        for arm in self.arm_configs:
             if self.gripper_dims.get(arm, 0) > 0:
                 out.append((f"{arm}_gripper", "gripper", self.gripper_dims[arm]))
+        if self.type == "HYBRID_MOBILE_BASE":
+            out.append(("base_mode", "mode", 1))
         return out
 
     @property
@@ -50,11 +65,17 @@ class CompositeControllerSpec:
         return sum(w for _, _, w in self.action_split)
 
 
-def make_composite(ctype: str = "BASIC", arms=("right",), gripper_dims=None, arm_type="OSC_POSE", **overrides):
+def make_composite(ctype: str = "BASIC", arms=("right",), gripper_dims=None,
+                   arm_type="OSC_POSE", part_dims=None, **overrides):
     """Build a CompositeControllerSpec (the composite_controller_factory
-    analog). WHOLE_BODY_IK resolves to per-arm IK_POSE."""
+    analog, reference composite_controller_factory.py:73-140).
+    WHOLE_BODY_IK resolves to per-arm IK_POSE; HYBRID_MOBILE_BASE keeps the
+    arm type and adds the trailing base-mode dim."""
     assert ctype in REGISTERED_COMPOSITE_CONTROLLERS, ctype
     part_type = "IK_POSE" if ctype == "WHOLE_BODY_IK" else arm_type
     arm_configs = {arm: arm_controller_config(part_type, **overrides) for arm in arms}
     gd = gripper_dims or {arm: 1 for arm in arms}
-    return CompositeControllerSpec(type=ctype, arm_configs=arm_configs, gripper_dims=gd)
+    return CompositeControllerSpec(
+        type=ctype, arm_configs=arm_configs, gripper_dims=gd,
+        part_dims=dict(part_dims or {}),
+    )

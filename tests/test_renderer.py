@@ -57,3 +57,43 @@ def test_renderer_batches(scene):
 
     depths = jax.jit(jax.vmap(r))(q)
     assert depths.shape == (4, 32, 32)
+
+
+def test_opencv_viewer_headless(lift_env, tmp_path):
+    """OpenCVViewer parity surface (reference opencv_renderer.py:10-90):
+    renders, concatenates cameras, records, exports frames headlessly."""
+    import jax
+
+    from robosuite_tpu.renderers import MjViewerRenderer, OpenCVViewer
+
+    state, _ = lift_env.reset(jax.random.PRNGKey(0))
+    v = OpenCVViewer(lift_env, camera_names="agentview", height=24, width=24, record=True)
+    frame = v.render(state)
+    assert frame.shape == (24, 24, 3) and frame.dtype == np.uint8
+    # multi-camera horizontal concat + set_camera by id
+    v.set_camera(camera_id=[0, 0], height=16, width=16)
+    frame2 = v.render(state)
+    assert frame2.shape == (16, 32, 3)
+    out = v.save_video(str(tmp_path / "frames.npy"))
+    assert np.load(out).ndim == 4
+    v.close()
+    assert v.frames == []
+
+    mj = MjViewerRenderer(lift_env, height=16, width=16)
+    assert mj.render(state).shape == (16, 16, 3)
+    mj.update()
+    mj.close()
+
+
+def test_composite_spec_hybrid_mobile_base():
+    """HYBRID_MOBILE_BASE split: arms, mobile parts, grippers, trailing
+    base-mode dim (reference composite_controller.py:234-291, :86-95)."""
+    from robosuite_tpu.controllers.composite import make_composite
+
+    spec = make_composite(
+        "HYBRID_MOBILE_BASE", arms=("right",), gripper_dims={"right": 1},
+        part_dims={"base": 3, "torso": 1},
+    )
+    names = [n for n, _, _ in spec.action_split]
+    assert names == ["right", "torso", "base", "right_gripper", "base_mode"]
+    assert spec.action_dim == spec.arm_configs["right"].control_dim + 3 + 1 + 1 + 1
