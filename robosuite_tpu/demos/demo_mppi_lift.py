@@ -25,10 +25,10 @@ def main():
     planner = mppi.init_state(cfg, env.action_dim, jax.random.PRNGKey(1))
     solve = jax.jit(lambda s, p: mppi.mppi_update(cfg, env._rollout_impl, s, p))
 
-    action, planner = solve(state, planner)  # compile
+    action, planner, _ = solve(state, planner)  # compile
     t0 = time.perf_counter()
     for i in range(n_solves):
-        action, planner = solve(state, planner)
+        action, planner, _ = solve(state, planner)
         state, obs, reward, done, info = env.step(state, action)
         print(f"solve {i}: reward={float(reward):.4f} cube_z={float(obs['cube_pos'][2]):.3f}")
     dt = time.perf_counter() - t0

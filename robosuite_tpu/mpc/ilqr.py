@@ -1,10 +1,28 @@
 """iLQR: iterative LQR trajectory optimization.
 
 The refinement stage of the MPC engine (SURVEY §7 layer 5): linearize the
-dynamics along a nominal trajectory (jax.jacrev through the jitted step),
-run a Riccati backward pass (lax.scan over the horizon), and line-search the
-forward rollout. Everything is jit/vmap-able, so thousands of independent
-iLQR solves batch over scenarios exactly like the MPPI sampler.
+dynamics along a nominal trajectory (jax.jacfwd through the jitted step),
+run a Riccati backward pass, and line-search the forward rollout.
+Everything is jit/vmap-able, so thousands of independent iLQR solves batch
+over scenarios exactly like the MPPI sampler.
+
+Two backward passes:
+  * sequential lax.scan Riccati (default) — O(H) depth, fully batched.
+  * associative-scan Riccati (`parallel_backward=True`) — the horizon-axis
+    parallelism component (SURVEY §2.9): the LQR value recursion is
+    reformulated as an associative combine over conditional value-function
+    elements (Särkkä & García-Fernández, "Temporal Parallelization of
+    Dynamic Programming and Linear Quadratic Control", 2021), giving
+    O(log H) depth via jax.lax.associative_scan. Exact-equivalent to the
+    sequential pass (tests/test_mpc.py asserts gain-level agreement).
+
+All inner SPD solves (Quu systems) use the repo's unrolled Cholesky
+(ops/linalg.py) instead of jnp.linalg.inv — the same kernels the physics
+hot path uses.
+
+Divergence handling: non-finite line-search costs are masked to +inf so a
+diverging rollout can never be accepted; if every candidate diverges the
+iterate is frozen (reg grows) rather than poisoned.
 
 Generic over (dynamics, cost): dynamics(x, u) -> x'; cost(x, u, t) -> scalar;
 terminal_cost(x) -> scalar.
@@ -19,6 +37,8 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
+from robosuite_tpu.ops import linalg as fastla
+
 
 @dataclasses.dataclass(frozen=True)
 class ILQRConfig:
@@ -27,6 +47,8 @@ class ILQRConfig:
     reg_init: float = 1e-6
     reg_max: float = 1e6
     line_search_steps: int = 8
+    parallel_backward: bool = False  # associative-scan Riccati over H
+    use_jacfwd: bool = True          # forward-mode linearization (nx+nu tangents)
 
 
 @struct.dataclass
@@ -36,6 +58,7 @@ class ILQRSolution:
     cost: Any      # scalar final cost
     gains_K: Any   # (H, nu, nx) feedback gains
     gains_k: Any   # (H, nu) feedforward
+    metrics: Any = None  # dict: per-iteration cost / alpha / accepted
 
 
 def _rollout(dynamics, cost, terminal_cost, x0, us):
@@ -52,14 +75,138 @@ def _rollout(dynamics, cost, terminal_cost, x0, us):
     return xs, total
 
 
+# --------------------------------------------------------------------------
+# Parallel (associative-scan) Riccati backward pass.
+#
+# Element e_t = (A, b, C, eta, J) parameterizes the conditional value
+# function between two times; combining e_i (earlier) with e_j (later)
+# eliminates the intermediate state:
+#     A_ij = A_j (I + C_i J_j)^-1 A_i
+#     b_ij = A_j (I + C_i J_j)^-1 (b_i + C_i eta_j) + b_j
+#     C_ij = A_j (I + C_i J_j)^-1 C_i A_j^T + C_j
+#   eta_ij = A_i^T (I + J_j C_i)^-1 (eta_j - J_j b_i) + eta_i
+#     J_ij = A_i^T (I + J_j C_i)^-1 J_j A_i + J_i
+# Scanning (reversed) yields the cost-to-go V_t(x) = 0.5 x'S x - eta'x with
+# S = J, s = -eta, from which the per-step gains follow in parallel.
+# --------------------------------------------------------------------------
+
+
+def _lqr_elements(fx, fu, cx, cu, cxx, cuu, cux, Vx_T, Vxx_T, reg):
+    """Build per-step associative elements from the linearized problem.
+
+    Cross terms and linear-in-u costs are eliminated by completing the
+    square in u first (deviations: c_t = 0 affine dynamics)."""
+    nu = cu.shape[-1]
+
+    def per_step(A, B, q, r, Q, R, P):
+        R = R + reg * jnp.eye(nu, dtype=R.dtype)
+        LR = fastla.chol_factor(R)
+        Rinv_P = fastla.chol_solve(LR, P)       # (nu, nx)
+        Rinv_r = fastla.chol_solve(LR, r)       # (nu,)
+        Rinv_BT = fastla.chol_solve(LR, B.T)    # (nu, nx)
+        A_e = A - B @ Rinv_P
+        b_e = -B @ Rinv_r
+        C_e = B @ Rinv_BT
+        J_e = Q - P.T @ Rinv_P
+        eta_e = -(q - P.T @ Rinv_r)
+        return A_e, b_e, C_e, eta_e, J_e
+
+    A_e, b_e, C_e, eta_e, J_e = jax.vmap(per_step)(fx, fu, cx, cu, cxx, cuu, cux)
+    nx = fx.shape[-1]
+    # terminal element: pure state cost, no transition
+    zA = jnp.zeros((1, nx, nx), dtype=fx.dtype)
+    zb = jnp.zeros((1, nx), dtype=fx.dtype)
+    A_e = jnp.concatenate([A_e, zA])
+    b_e = jnp.concatenate([b_e, zb])
+    C_e = jnp.concatenate([C_e, zA[0][None] * 0.0])
+    eta_e = jnp.concatenate([eta_e, -Vx_T[None]])
+    J_e = jnp.concatenate([J_e, Vxx_T[None]])
+    return A_e, b_e, C_e, eta_e, J_e
+
+
+def _combine(later, earlier):
+    """Associative combine. With `reverse=True` below, lax.associative_scan
+    feeds (element closer to T, element closer to 0)."""
+    Aj, bj, Cj, etaj, Jj = later
+    Ai, bi, Ci, etai, Ji = earlier
+    nx = Ai.shape[-1]
+    I = jnp.eye(nx, dtype=Ai.dtype)
+    # (I + C_i J_j)^-1 applied from the left
+    M1 = I + Ci @ Jj
+    A_ij = Aj @ jnp.linalg.solve(M1, Ai)
+    b_ij = Aj @ jnp.linalg.solve(M1, bi + Ci @ etaj) + bj
+    C_ij = Aj @ jnp.linalg.solve(M1, Ci @ jnp.swapaxes(Aj, -1, -2)) + Cj
+    M2 = I + Jj @ Ci
+    eta_ij = jnp.swapaxes(Ai, -1, -2) @ jnp.linalg.solve(M2, etaj - Jj @ bi) + etai
+    J_ij = jnp.swapaxes(Ai, -1, -2) @ jnp.linalg.solve(M2, Jj @ Ai) + Ji
+    return A_ij, b_ij, C_ij, eta_ij, J_ij
+
+
+def _combine_batched(a, b):
+    return jax.vmap(_combine)(a, b)
+
+
+def backward_associative(fx, fu, cx, cu, cxx, cuu, cux, Vx_T, Vxx_T, reg):
+    """O(log H)-depth Riccati backward pass. Returns (ks, Ks, dV, Ss, ss)
+    where Ss[t], ss[t] parameterize the cost-to-go at step t."""
+    elems = _lqr_elements(fx, fu, cx, cu, cxx, cuu, cux, Vx_T, Vxx_T, reg)
+    # suffix combine: scanned element t = e_t ⊗ e_{t+1} ⊗ ... ⊗ e_T
+    scanned = jax.lax.associative_scan(_combine_batched, elems, reverse=True)
+    _, _, _, etas, Js = scanned
+    Ss = Js          # (H+1, nx, nx) cost-to-go Hessians
+    ss = -etas       # (H+1, nx) cost-to-go gradients
+
+    nu = cu.shape[-1]
+
+    def gains(A, B, q, r, Q, R, P, S1, s1):
+        Qu = r + B.T @ s1
+        Quu = R + B.T @ S1 @ B + reg * jnp.eye(nu, dtype=R.dtype)
+        Qux = P + B.T @ S1 @ A
+        L = fastla.chol_factor(Quu)
+        k = -fastla.chol_solve(L, Qu)
+        K = -fastla.chol_solve(L, Qux)
+        dv = -0.5 * jnp.dot(k, Quu @ k) - jnp.dot(k, Qu)
+        return k, K, dv
+
+    ks, Ks, dvs = jax.vmap(gains)(fx, fu, cx, cu, cxx, cuu, cux, Ss[1:], ss[1:])
+    return ks, Ks, jnp.sum(dvs), Ss, ss
+
+
+def backward_sequential(fx, fu, cx, cu, cxx, cuu, cux, Vx_T, Vxx_T, reg):
+    """Classic O(H)-depth Riccati recursion (lax.scan, reverse)."""
+    nu = cu.shape[-1]
+
+    def body(carry, inp):
+        Vx, Vxx = carry
+        fx_t, fu_t, cx_t, cu_t, cxx_t, cuu_t, cux_t = inp
+        Qx = cx_t + fx_t.T @ Vx
+        Qu = cu_t + fu_t.T @ Vx
+        Qxx = cxx_t + fx_t.T @ Vxx @ fx_t
+        Quu = cuu_t + fu_t.T @ Vxx @ fu_t + reg * jnp.eye(nu, dtype=cuu_t.dtype)
+        Qux = cux_t + fu_t.T @ Vxx @ fx_t
+        L = fastla.chol_factor(Quu)
+        k = -fastla.chol_solve(L, Qu)
+        K = -fastla.chol_solve(L, Qux)
+        Vx2 = Qx + K.T @ Quu @ k + K.T @ Qu + Qux.T @ k
+        Vxx2 = Qxx + K.T @ Quu @ K + K.T @ Qux + Qux.T @ K
+        Vxx2 = 0.5 * (Vxx2 + Vxx2.T)
+        dv = -0.5 * jnp.dot(k, Quu @ k) - jnp.dot(k, Qu)
+        return (Vx2, Vxx2), (k, K, dv)
+
+    (_, _), (ks, Ks, dvs) = jax.lax.scan(
+        body, (Vx_T, Vxx_T), (fx, fu, cx, cu, cxx, cuu, cux), reverse=True
+    )
+    return ks, Ks, jnp.sum(dvs)
+
+
 def solve(cfg: ILQRConfig, dynamics: Callable, cost: Callable, terminal_cost: Callable, x0, us_init):
     """Run iLQR. Returns ILQRSolution."""
-    nx = x0.shape[-1]
     nu = us_init.shape[-1]
     H = us_init.shape[0]
 
-    fx_fn = jax.jacrev(dynamics, argnums=0)
-    fu_fn = jax.jacrev(dynamics, argnums=1)
+    jac = jax.jacfwd if cfg.use_jacfwd else jax.jacrev
+    fx_fn = jac(dynamics, argnums=0)
+    fu_fn = jac(dynamics, argnums=1)
     cx_fn = jax.grad(cost, argnums=0)
     cu_fn = jax.grad(cost, argnums=1)
     cxx_fn = jax.hessian(cost, argnums=0)
@@ -80,31 +227,13 @@ def solve(cfg: ILQRConfig, dynamics: Callable, cost: Callable, terminal_cost: Ca
         return fx, fu, cx, cu, cxx, cuu, cux
 
     def backward(xs, us, reg):
-        fx, fu, cx, cu, cxx, cuu, cux = linearize(xs, us)
+        lin = linearize(xs, us)
         Vx = vx_fn(xs[-1])
         Vxx = vxx_fn(xs[-1])
-
-        def body(carry, inp):
-            Vx, Vxx = carry
-            fx_t, fu_t, cx_t, cu_t, cxx_t, cuu_t, cux_t = inp
-            Qx = cx_t + fx_t.T @ Vx
-            Qu = cu_t + fu_t.T @ Vx
-            Qxx = cxx_t + fx_t.T @ Vxx @ fx_t
-            Quu = cuu_t + fu_t.T @ Vxx @ fu_t + reg * jnp.eye(nu)
-            Qux = cux_t + fu_t.T @ Vxx @ fx_t
-            Quu_inv = jnp.linalg.inv(Quu)
-            k = -Quu_inv @ Qu
-            K = -Quu_inv @ Qux
-            Vx2 = Qx + K.T @ Quu @ k + K.T @ Qu + Qux.T @ k
-            Vxx2 = Qxx + K.T @ Quu @ K + K.T @ Qux + Qux.T @ K
-            Vxx2 = 0.5 * (Vxx2 + Vxx2.T)
-            dv = -0.5 * jnp.dot(k, Quu @ k) - jnp.dot(k, Qu)
-            return (Vx2, Vxx2), (k, K, dv)
-
-        (_, _), (ks, Ks, dvs) = jax.lax.scan(
-            body, (Vx, Vxx), (fx, fu, cx, cu, cxx, cuu, cux), reverse=True
-        )
-        return ks, Ks, jnp.sum(dvs)
+        if cfg.parallel_backward:
+            ks, Ks, dv, _, _ = backward_associative(*lin, Vx, Vxx, reg)
+            return ks, Ks, dv
+        return backward_sequential(*lin, Vx, Vxx, reg)
 
     def forward(xs, us, ks, Ks, alpha):
         def body(x, inp):
@@ -134,17 +263,20 @@ def solve(cfg: ILQRConfig, dynamics: Callable, cost: Callable, terminal_cost: Ca
             return xs2, us2, J2
 
         xs_c, us_c, J_c = jax.vmap(try_alpha)(alphas)
+        # divergence masking: a NaN/Inf rollout can never be accepted
+        J_c = jnp.where(jnp.isfinite(J_c), J_c, jnp.inf)
         best = jnp.argmin(J_c)
         improved = J_c[best] < J
         xs_new = jnp.where(improved, xs_c[best], xs)
         us_new = jnp.where(improved, us_c[best], us)
         J_new = jnp.where(improved, J_c[best], J)
         reg_new = jnp.where(improved, jnp.maximum(reg * 0.5, cfg.reg_init), jnp.minimum(reg * 10.0, cfg.reg_max))
-        return (xs_new, us_new, J_new, reg_new), J_new
+        metrics = dict(cost=J_new, alpha=alphas[best], accepted=improved)
+        return (xs_new, us_new, J_new, reg_new), metrics
 
-    (xs, us, J, _), _ = jax.lax.scan(
+    (xs, us, J, _), metrics = jax.lax.scan(
         iteration, (xs0, us_init, cost0, jnp.asarray(cfg.reg_init, dtype=x0.dtype)), None,
         length=cfg.n_iterations,
     )
     ks, Ks, _ = backward(xs, us, jnp.asarray(cfg.reg_init, dtype=x0.dtype))
-    return ILQRSolution(xs=xs, us=us, cost=J, gains_K=Ks, gains_k=ks)
+    return ILQRSolution(xs=xs, us=us, cost=J, gains_K=Ks, gains_k=ks, metrics=metrics)

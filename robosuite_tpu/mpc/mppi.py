@@ -42,7 +42,9 @@ def init_state(cfg: MPPIConfig, act_dim: int, rng) -> MPPIState:
 def mppi_update(cfg: MPPIConfig, rollout_step: Callable, env_state, planner: MPPIState):
     """One MPPI solve. rollout_step(env_state, action) -> (env_state, reward).
 
-    Returns (action_to_execute, new_planner_state).
+    Returns (action_to_execute, new_planner_state, metrics) where metrics is
+    a dict of per-solve solver observability (best/mean return, masked-
+    rollout count) — the SURVEY §5 metrics-pipeline analog.
     """
     rng, k_noise = jax.random.split(planner.rng)
     H, A = planner.mean.shape
@@ -61,19 +63,32 @@ def mppi_update(cfg: MPPIConfig, rollout_step: Callable, env_state, planner: MPP
 
     returns = jax.vmap(rollout)(seqs)  # (K,)
 
+    # divergence masking (SURVEY §5 failure-detection analog): a rollout
+    # that went NaN/Inf gets zero weight instead of poisoning the softmax
+    finite = jnp.isfinite(returns)
+    masked_returns = jnp.where(finite, returns, -jnp.inf)
+    any_finite = jnp.any(finite)
+
     # softmax weighting on returns (cost = -return)
-    w = jax.nn.softmax(returns / cfg.temperature)
+    w = jax.nn.softmax(masked_returns / cfg.temperature)
+    w = jnp.where(any_finite, w, jnp.zeros_like(w))
     new_mean = jnp.einsum("k,khA->hA", w, seqs)
+    new_mean = jnp.where(any_finite, new_mean, planner.mean)
 
     action = new_mean[0]
     # receding horizon: shift the plan
     shifted = jnp.concatenate([new_mean[1:], jnp.zeros((1, A), dtype=new_mean.dtype)])
-    return action, MPPIState(mean=shifted, rng=rng)
+    metrics = dict(
+        best_return=jnp.max(masked_returns),
+        mean_return=jnp.sum(jnp.where(finite, returns, 0.0)) / jnp.maximum(jnp.sum(finite), 1),
+        n_masked=jnp.sum(~finite),
+    )
+    return action, MPPIState(mean=shifted, rng=rng), metrics
 
 
 def make_solver(cfg: MPPIConfig, env):
     """Bind MPPI to an env's lean rollout step. Returns
-    solve(env_state, planner) -> (action, planner')."""
+    solve(env_state, planner) -> (action, planner', metrics)."""
 
     def solve(env_state, planner):
         return mppi_update(cfg, env._rollout_impl, env_state, planner)

@@ -90,7 +90,8 @@ def sharded_mppi_solver(env, mppi_cfg, mesh: Mesh, axis: str = SCENARIO_AXIS):
     )
     def _solve(env_states, planners):
         def one(es, pl):
-            return mppi_mod.mppi_update(mppi_cfg, env._rollout_impl, es, pl)
+            a, p2, _ = mppi_mod.mppi_update(mppi_cfg, env._rollout_impl, es, pl)
+            return a, p2
 
         actions, new_planners = jax.vmap(one)(env_states, planners)
         mean_ret = jax.lax.pmean(jnp.mean(jnp.sum(new_planners.mean, axis=(-2, -1))), axis)

@@ -81,10 +81,81 @@ def test_mppi_update_improves_simple_objective():
     def run(planner, state, n):
         total = 0.0
         for _ in range(n):
-            action, planner = update(state, planner)
+            action, planner, _ = update(state, planner)
             state, r = rollout_step(state, action)
             total = r
         return float(total), state
 
     r_final, state_final = run(planner, state, 15)
     assert float(jnp.linalg.norm(state_final - target)) < 0.2
+
+
+def test_parallel_backward_matches_sequential():
+    """Associative-scan Riccati must reproduce the sequential gains exactly
+    (random nonlinear problem, including cross terms from the cost)."""
+    rng = np.random.default_rng(3)
+    nx, nu, H = 5, 2, 16
+    W = jnp.asarray(rng.normal(size=(nx, nx)) * 0.3)
+    B = jnp.asarray(rng.normal(size=(nx, nu)))
+
+    def dynamics(x, u):
+        return x + 0.1 * jnp.tanh(W @ x) + 0.1 * (B @ u)
+
+    Q = jnp.asarray(rng.normal(size=(nx, nx)))
+    Q = Q @ Q.T + jnp.eye(nx)
+    P = jnp.asarray(rng.normal(size=(nu, nx)) * 0.1)
+
+    def cost(x, u, t):
+        return 0.5 * x @ Q @ x + 0.05 * jnp.sum(u**2) + u @ P @ x + 0.3 * jnp.sum(x) + 0.1 * jnp.sum(u)
+
+    def terminal(x):
+        return 2.0 * jnp.sum(x**2) + 0.2 * jnp.sum(x)
+
+    x0 = jnp.asarray(rng.normal(size=nx))
+    us = jnp.asarray(rng.normal(size=(H, nu)) * 0.2)
+
+    cfg_seq = ilqr.ILQRConfig(horizon=H, n_iterations=3, parallel_backward=False)
+    cfg_par = ilqr.ILQRConfig(horizon=H, n_iterations=3, parallel_backward=True)
+    sol_seq = jax.jit(lambda x, u: ilqr.solve(cfg_seq, dynamics, cost, terminal, x, u))(x0, us)
+    sol_par = jax.jit(lambda x, u: ilqr.solve(cfg_par, dynamics, cost, terminal, x, u))(x0, us)
+
+    np.testing.assert_allclose(np.asarray(sol_par.gains_k), np.asarray(sol_seq.gains_k), rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(sol_par.gains_K), np.asarray(sol_seq.gains_K), rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(float(sol_par.cost), float(sol_seq.cost), rtol=1e-5)
+
+
+def test_ilqr_divergence_masking():
+    """A dynamics that explodes for |u| large must not poison the solve:
+    the line search masks non-finite costs and keeps the nominal."""
+    def dynamics(x, u):
+        # blows up (NaN) when pushed past the cliff
+        return x + u + jnp.where(jnp.abs(u) > 1e3, jnp.nan, 0.0)
+
+    def cost(x, u, t):
+        return jnp.sum(x**2) + 1e-8 * jnp.sum(u**2)  # near-singular Quu -> huge k
+
+    def terminal(x):
+        return jnp.sum(x**2)
+
+    cfg = ilqr.ILQRConfig(horizon=5, n_iterations=6)
+    sol = jax.jit(lambda x, u: ilqr.solve(cfg, dynamics, cost, terminal, x, u))(
+        jnp.ones(1), jnp.zeros((5, 1))
+    )
+    assert np.isfinite(float(sol.cost))
+    assert np.all(np.isfinite(np.asarray(sol.us)))
+
+
+def test_mppi_divergence_masking():
+    """NaN rollouts get zero softmax weight; all-NaN keeps the old mean."""
+    def bad_step(state, action):
+        new = state + action
+        return new, jnp.where(action[0] > 0, jnp.nan, -jnp.sum(new**2))
+
+    cfg = mppi.MPPIConfig(horizon=3, n_samples=32, noise_sigma=0.5)
+    planner = mppi.init_state(cfg, 1, jax.random.PRNGKey(0))
+    action, planner2, metrics = jax.jit(
+        lambda s, p: mppi.mppi_update(cfg, bad_step, s, p)
+    )(jnp.zeros(1), planner)
+    assert np.all(np.isfinite(np.asarray(action)))
+    assert np.all(np.isfinite(np.asarray(planner2.mean)))
+    assert int(metrics["n_masked"]) > 0
