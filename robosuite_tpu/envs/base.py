@@ -387,11 +387,16 @@ class RobotEnv:
         new_state = EnvState(physics=physics, ctrl=packed, t=t, rng=state.rng)
         return new_state, obs, reward, done, {}
 
-    def _rollout_impl(self, state: EnvState, action, model=None):
+    def _rollout_impl(self, state: EnvState, action, model=None, n_substeps=None):
         """Lean policy step for planners: no observation dict, returns
-        (new_state, reward). Same physics/controller path as _step_impl."""
+        (new_state, reward). Same physics/controller path as _step_impl.
+
+        `model` / `n_substeps` let MPC planners roll a coarse-timestep
+        planning model (mpc/receding.py): e.g. model.replace(timestep=0.01)
+        with n_substeps=5 still covers one 50 ms control period."""
         action = jnp.clip(action, -1.0, 1.0)
         model = self.model if model is None else model
+        n_substeps = self.n_substeps if n_substeps is None else n_substeps
         physics = state.physics
         kin, M, bias = engine.forward_products(model, physics)
         ctrl_states = self._unpack_ctrl(state.ctrl)
@@ -409,7 +414,7 @@ class RobotEnv:
                 ctrl = r.run_controllers(kin, M, bias, phys.qpos, phys.qvel, cs, ctrl)
             return engine.integrate(model, phys, ctrl, kin, M, bias), ()
 
-        physics, _ = jax.lax.scan(substep, physics, None, length=self.n_substeps)
+        physics, _ = jax.lax.scan(substep, physics, None, length=n_substeps)
         kin, _, _ = engine.forward_products(model, physics)
         reward = self.reward(None, physics, kin)
         new_state = EnvState(physics=physics, ctrl=packed, t=state.t + 1, rng=state.rng)

@@ -71,7 +71,11 @@ def _apgd_xla(JfT, Lm, aref, qacc_smooth, reg3, mu, active, K, ne, iters, power_
         fn = jnp.maximum(x[:K], 0.0) * active
         t1 = x[K : 2 * K]
         t2 = x[2 * K : 3 * K]
-        tn = jnp.sqrt(t1 * t1 + t2 * t2)
+        # sqrt has an inf derivative at 0 and jnp.maximum's JVP multiplies
+        # (not selects) the branch tangents, so 0*NaN leaks: floor the
+        # *radicand* instead so the MPC linearization (jvp through this
+        # path) stays finite
+        tn = jnp.sqrt(jnp.maximum(t1 * t1 + t2 * t2, 1e-18))
         scale = jnp.minimum(1.0, mu * fn / jnp.maximum(tn, 1e-9)) * active
         out = jnp.concatenate([fn, t1 * scale, t2 * scale])
         if ne:
@@ -292,11 +296,11 @@ def make_vel_solver(nv, ntot, K, ne, iters, power_iters, dt_step):
     the Pallas kernel; unbatched / non-TPU calls run the XLA path."""
 
     @custom_vmap
-    def solve(M, JfT, aref, qfrc_smooth, qvel, damping, reg3, mu, active):
+    def solve_inner(M, JfT, aref, qfrc_smooth, qvel, damping, reg3, mu, active):
         return _vel_update_xla(M, JfT, aref, qfrc_smooth, qvel, damping, reg3,
                                mu, active, K, ne, iters, power_iters, dt_step)
 
-    @solve.def_vmap
+    @solve_inner.def_vmap
     def _solve_vmap(axis_size, in_batched, *batched_args):
         # broadcast any unbatched operands (all are per-scenario in practice)
         def bc(x, b):
@@ -311,5 +315,19 @@ def make_vel_solver(nv, ntot, K, ne, iters, power_iters, dt_step):
                 lambda *a: _vel_update_xla(*a, K, ne, iters, power_iters, dt_step)
             )(*args)
         return out, (True, True)
+
+    # custom_jvp boundary (see pallas_forward.make_forward_solver): MPC
+    # linearization differentiates through the contact solve; tangents take
+    # the XLA APGD path, primal-only calls still hit the Pallas kernel.
+    @jax.custom_jvp
+    def solve(M, JfT, aref, qfrc_smooth, qvel, damping, reg3, mu, active):
+        return solve_inner(M, JfT, aref, qfrc_smooth, qvel, damping, reg3, mu, active)
+
+    @solve.defjvp
+    def _solve_jvp(primals, tangents):
+        return jax.jvp(
+            lambda *a: _vel_update_xla(*a, K, ne, iters, power_iters, dt_step),
+            primals, tangents,
+        )
 
     return solve

@@ -519,10 +519,10 @@ def make_forward_solver(model):
         return kin, M, bias
 
     @custom_vmap
-    def fp(qpos, qvel, mass, inertia, gravity, armature):
+    def fp_inner(qpos, qvel, mass, inertia, gravity, armature):
         return _xla(qpos, qvel, mass, inertia, gravity, armature)
 
-    @fp.def_vmap
+    @fp_inner.def_vmap
     def _fp_vmap(axis_size, in_batched, *args):
         def bc(x, b):
             return x if b else jnp.broadcast_to(x[None], (axis_size,) + x.shape)
@@ -533,5 +533,17 @@ def make_forward_solver(model):
         else:
             out = jax.vmap(_xla)(*args)
         return out, jax.tree_util.tree_map(lambda _: True, out)
+
+    # Differentiation boundary: custom_vmap composes with vmap but not with
+    # jvp (the MPC linearization, jacfwd through the rollout, needs it).
+    # custom_jvp sits OUTSIDE so primal-only calls still dispatch to the
+    # Pallas kernel, while tangents ride the plain XLA path.
+    @jax.custom_jvp
+    def fp(qpos, qvel, mass, inertia, gravity, armature):
+        return fp_inner(qpos, qvel, mass, inertia, gravity, armature)
+
+    @fp.defjvp
+    def _fp_jvp(primals, tangents):
+        return jax.jvp(_xla, primals, tangents)
 
     return fp

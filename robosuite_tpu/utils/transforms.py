@@ -191,15 +191,20 @@ def mat2euler(rmat):
 
 def axisangle2quat(vec):
     """Exponential coordinates (axis*angle) -> xyzw quaternion
-    (reference transform_utils.py:515-540)."""
-    angle = jnp.linalg.norm(vec, axis=-1, keepdims=True)
-    safe = jnp.maximum(angle, EPS)
-    axis = vec / safe
-    half = angle / 2.0
-    s = jnp.sin(half)
-    q = jnp.concatenate([axis * s, jnp.cos(half)], axis=-1)
-    ident = jnp.concatenate([jnp.zeros_like(vec), jnp.ones_like(angle)], axis=-1)
-    return jnp.where(angle < EPS, ident, q)
+    (reference transform_utils.py:515-540).
+
+    Differentiable at vec=0: the where() falls back to a 2nd-order Taylor
+    branch computed from the *squared* norm, so both the value and the
+    tangent are exact there (a plain identity fallback zeroes the
+    derivative, blinding the MPC linearization at small rotations)."""
+    sq = jnp.sum(vec * vec, axis=-1, keepdims=True)
+    small = sq < 1e-12
+    safe_sq = jnp.where(small, 1.0, sq)
+    angle = jnp.sqrt(safe_sq)
+    # sin(theta/2)/theta and cos(theta/2), with Taylor forms near 0
+    k = jnp.where(small, 0.5 - sq / 48.0, jnp.sin(angle / 2.0) / angle)
+    w = jnp.where(small, 1.0 - sq / 8.0, jnp.cos(angle / 2.0))
+    return jnp.concatenate([vec * k, w], axis=-1)
 
 
 def quat2axisangle(quat):
@@ -295,13 +300,17 @@ def quat_integrate_wxyz(q, omega, dt):
     Matches MuJoCo's mju_quatIntegrate: q' = q * exp(0.5 * omega * dt) with
     omega expressed in the child (body-local) frame.
     """
-    angle = jnp.linalg.norm(omega, axis=-1, keepdims=True) * dt
-    safe = jnp.maximum(angle, EPS)
-    axis = omega * dt / safe
-    half = angle / 2.0
-    dq = jnp.concatenate([jnp.cos(half), axis * jnp.sin(half)], axis=-1)
-    ident = jnp.concatenate([jnp.ones_like(half), jnp.zeros_like(omega)], axis=-1)
-    dq = jnp.where(angle < EPS, ident, dq)
+    v = omega * dt
+    sq = jnp.sum(v * v, axis=-1, keepdims=True)
+    # Taylor branch at omega=0 keeps value AND tangent exact (see
+    # axisangle2quat) — a resting free body must still have a correct
+    # d(quat)/d(omega) for MPC linearization
+    small = sq < 1e-12
+    safe_sq = jnp.where(small, 1.0, sq)
+    angle = jnp.sqrt(safe_sq)
+    k = jnp.where(small, 0.5 - sq / 48.0, jnp.sin(angle / 2.0) / angle)
+    w = jnp.where(small, 1.0 - sq / 8.0, jnp.cos(angle / 2.0))
+    dq = jnp.concatenate([w, v * k], axis=-1)
     out = quat_mul_wxyz(q, dq)
     return unit_vector(out)
 
