@@ -199,37 +199,69 @@ def backward_sequential(fx, fu, cx, cu, cxx, cuu, cux, Vx_T, Vxx_T, reg):
     return ks, Ks, jnp.sum(dvs)
 
 
-def solve(cfg: ILQRConfig, dynamics: Callable, cost: Callable, terminal_cost: Callable, x0, us_init):
-    """Run iLQR. Returns ILQRSolution."""
+def gauss_newton_quadratics(residual: Callable, gn_reg: float = 1e-6):
+    """Build a cost-quadratics callable from a residual function
+    r(x, u, t) -> (m,) with cost = 0.5 ||r||^2. Gauss-Newton: the cost
+    Hessian is approximated J_r^T J_r, needing only ONE Jacobian of the
+    residual (nx+nu forward tangents) instead of a full second-order
+    autodiff sweep — the standard iLQG trick for least-squares costs."""
+
+    def quads(x, u, t):
+        r = residual(x, u, t)
+        Jx = jax.jacfwd(residual, argnums=0)(x, u, t)
+        Ju = jax.jacfwd(residual, argnums=1)(x, u, t)
+        cx = Jx.T @ r
+        cu = Ju.T @ r
+        cxx = Jx.T @ Jx
+        cuu = Ju.T @ Ju + gn_reg * jnp.eye(u.shape[-1], dtype=u.dtype)
+        cux = Ju.T @ Jx
+        return cx, cu, cxx, cuu, cux
+
+    return quads
+
+
+def solve(cfg: ILQRConfig, dynamics: Callable, cost: Callable, terminal_cost: Callable, x0, us_init,
+          quadratics: Callable = None, terminal_quadratics: Callable = None):
+    """Run iLQR. Returns ILQRSolution.
+
+    quadratics (optional): (x, u, t) -> (cx, cu, cxx, cuu, cux) — overrides
+    the autodiff second-order expansion of `cost` (e.g. Gauss-Newton from
+    residuals via gauss_newton_quadratics; `cost` is still used for the
+    line-search rollout objective). terminal_quadratics: x -> (Vx, Vxx).
+    """
     nu = us_init.shape[-1]
     H = us_init.shape[0]
 
     jac = jax.jacfwd if cfg.use_jacfwd else jax.jacrev
     fx_fn = jac(dynamics, argnums=0)
     fu_fn = jac(dynamics, argnums=1)
-    cx_fn = jax.grad(cost, argnums=0)
-    cu_fn = jax.grad(cost, argnums=1)
-    cxx_fn = jax.hessian(cost, argnums=0)
-    cuu_fn = jax.hessian(cost, argnums=1)
-    cux_fn = jax.jacrev(jax.grad(cost, argnums=1), argnums=0)
-    vx_fn = jax.grad(terminal_cost)
-    vxx_fn = jax.hessian(terminal_cost)
+    if quadratics is None:
+        cx_fn = jax.grad(cost, argnums=0)
+        cu_fn = jax.grad(cost, argnums=1)
+        cxx_fn = jax.hessian(cost, argnums=0)
+        cuu_fn = jax.hessian(cost, argnums=1)
+        cux_fn = jax.jacrev(jax.grad(cost, argnums=1), argnums=0)
+
+        def quadratics(x, u, t):
+            return cx_fn(x, u, t), cu_fn(x, u, t), cxx_fn(x, u, t), cuu_fn(x, u, t), cux_fn(x, u, t)
+
+    if terminal_quadratics is None:
+        vx_fn = jax.grad(terminal_cost)
+        vxx_fn = jax.hessian(terminal_cost)
+
+        def terminal_quadratics(x):
+            return vx_fn(x), vxx_fn(x)
 
     def linearize(xs, us):
         ts = jnp.arange(H)
         fx = jax.vmap(fx_fn)(xs[:-1], us)
         fu = jax.vmap(fu_fn)(xs[:-1], us)
-        cx = jax.vmap(cx_fn)(xs[:-1], us, ts)
-        cu = jax.vmap(cu_fn)(xs[:-1], us, ts)
-        cxx = jax.vmap(cxx_fn)(xs[:-1], us, ts)
-        cuu = jax.vmap(cuu_fn)(xs[:-1], us, ts)
-        cux = jax.vmap(cux_fn)(xs[:-1], us, ts)
+        cx, cu, cxx, cuu, cux = jax.vmap(quadratics)(xs[:-1], us, ts)
         return fx, fu, cx, cu, cxx, cuu, cux
 
     def backward(xs, us, reg):
         lin = linearize(xs, us)
-        Vx = vx_fn(xs[-1])
-        Vxx = vxx_fn(xs[-1])
+        Vx, Vxx = terminal_quadratics(xs[-1])
         if cfg.parallel_backward:
             ks, Ks, dv, _, _ = backward_associative(*lin, Vx, Vxx, reg)
             return ks, Ks, dv

@@ -27,6 +27,11 @@ class MPPIConfig:
     temperature: float = 0.3
     noise_sigma: float = 0.4
     gamma: float = 1.0          # reward discount
+    n_knots: int = 0            # 0 = white per-step noise; k > 0 = noise
+                                # sampled at k spline knots and linearly
+                                # interpolated over the horizon (correlated
+                                # exploration — essential at H >= 32, where
+                                # white noise averages itself out)
 
 
 @struct.dataclass
@@ -39,19 +44,30 @@ def init_state(cfg: MPPIConfig, act_dim: int, rng) -> MPPIState:
     return MPPIState(mean=jnp.zeros((cfg.horizon, act_dim)), rng=rng)
 
 
-def mppi_update(cfg: MPPIConfig, rollout_step: Callable, env_state, planner: MPPIState):
-    """One MPPI solve. rollout_step(env_state, action) -> (env_state, reward).
+def mppi_step(cfg: MPPIConfig, rollout_step: Callable, env_state, mean, rng):
+    """One MPPI importance-weighted update of the nominal sequence (no
+    receding-horizon shift). Returns (new_mean, metrics).
 
-    Returns (action_to_execute, new_planner_state, metrics) where metrics is
-    a dict of per-solve solver observability (best/mean return, masked-
-    rollout count) — the SURVEY §5 metrics-pipeline analog.
-    """
-    rng, k_noise = jax.random.split(planner.rng)
-    H, A = planner.mean.shape
-    noise = cfg.noise_sigma * jax.random.normal(k_noise, (cfg.n_samples, H, A), dtype=planner.mean.dtype)
-    seqs = jnp.clip(planner.mean[None] + noise, -1.0, 1.0)
+    Divergence masking (SURVEY §5 failure-detection analog): a rollout that
+    went NaN/Inf gets zero softmax weight instead of poisoning the update;
+    if every sample diverged the previous mean is kept."""
+    H, A = mean.shape
+    if cfg.n_knots and cfg.n_knots < H:
+        # correlated exploration: noise lives on k knots, linearly
+        # interpolated to H steps (MJPC-style spline sampling)
+        k = cfg.n_knots
+        knots = jax.random.normal(rng, (cfg.n_samples, k, A), dtype=mean.dtype)
+        t = jnp.linspace(0.0, k - 1.0, H)
+        i0 = jnp.clip(jnp.floor(t).astype(jnp.int32), 0, k - 2)
+        frac = (t - i0)[None, :, None]
+        noise = cfg.noise_sigma * (
+            knots[:, i0, :] * (1.0 - frac) + knots[:, i0 + 1, :] * frac
+        )
+    else:
+        noise = cfg.noise_sigma * jax.random.normal(rng, (cfg.n_samples, H, A), dtype=mean.dtype)
+    seqs = jnp.clip(mean[None] + noise, -1.0, 1.0)
 
-    discounts = cfg.gamma ** jnp.arange(H, dtype=planner.mean.dtype)
+    discounts = cfg.gamma ** jnp.arange(H, dtype=mean.dtype)
 
     def rollout(seq):
         def body(s, a):
@@ -63,8 +79,6 @@ def mppi_update(cfg: MPPIConfig, rollout_step: Callable, env_state, planner: MPP
 
     returns = jax.vmap(rollout)(seqs)  # (K,)
 
-    # divergence masking (SURVEY §5 failure-detection analog): a rollout
-    # that went NaN/Inf gets zero weight instead of poisoning the softmax
     finite = jnp.isfinite(returns)
     masked_returns = jnp.where(finite, returns, -jnp.inf)
     any_finite = jnp.any(finite)
@@ -73,16 +87,30 @@ def mppi_update(cfg: MPPIConfig, rollout_step: Callable, env_state, planner: MPP
     w = jax.nn.softmax(masked_returns / cfg.temperature)
     w = jnp.where(any_finite, w, jnp.zeros_like(w))
     new_mean = jnp.einsum("k,khA->hA", w, seqs)
-    new_mean = jnp.where(any_finite, new_mean, planner.mean)
+    new_mean = jnp.where(any_finite, new_mean, mean)
 
-    action = new_mean[0]
-    # receding horizon: shift the plan
-    shifted = jnp.concatenate([new_mean[1:], jnp.zeros((1, A), dtype=new_mean.dtype)])
     metrics = dict(
         best_return=jnp.max(masked_returns),
         mean_return=jnp.sum(jnp.where(finite, returns, 0.0)) / jnp.maximum(jnp.sum(finite), 1),
         n_masked=jnp.sum(~finite),
     )
+    return new_mean, metrics
+
+
+def mppi_update(cfg: MPPIConfig, rollout_step: Callable, env_state, planner: MPPIState):
+    """One MPPI solve. rollout_step(env_state, action) -> (env_state, reward).
+
+    Returns (action_to_execute, new_planner_state, metrics) where metrics is
+    a dict of per-solve solver observability (best/mean return, masked-
+    rollout count) — the SURVEY §5 metrics-pipeline analog.
+    """
+    rng, k_noise = jax.random.split(planner.rng)
+    new_mean, metrics = mppi_step(cfg, rollout_step, env_state, planner.mean, k_noise)
+    H, A = planner.mean.shape
+
+    action = new_mean[0]
+    # receding horizon: shift the plan
+    shifted = jnp.concatenate([new_mean[1:], jnp.zeros((1, A), dtype=new_mean.dtype)])
     return action, MPPIState(mean=shifted, rng=rng), metrics
 
 

@@ -1,0 +1,209 @@
+"""Receding-horizon MPC on robosuite_tpu environments — the BASELINE.json
+north-star workload: parallel Panda-Lift MPC solves at H=64 within the 20 Hz
+(50 ms) control budget.
+
+One *solve* = one control tick:
+  1. MPPI warm start: K sampled action sequences of length H rolled through
+     a coarse-timestep *planning model* of the full contact physics,
+     importance-weighted into the nominal plan (mpc/mppi.py).
+  2. iLQR refinement (optional, n_ilqr_iters > 0): the nominal plan is
+     refined by iterative LQR on the same planning dynamics — fx/fu by
+     jacfwd through the physics step (the custom_jvp boundary in
+     ops/pallas_{forward,contact}.py routes tangents through the XLA path),
+     Gauss-Newton cost quadratics from a residual function, Riccati
+     backward pass (sequential or associative-scan, mpc/ilqr.py).
+  3. Execute the first action; shift the plan (warm start for the next tick).
+
+The planning model is the env's compiled model with a coarser integrator
+step (default 10 ms vs the 2 ms simulation timestep, mirroring MuJoCo MPC's
+plan-vs-sim timestep split) so one planned control period costs 5 substeps
+instead of 25. The *executed* env always steps at full fidelity.
+
+Everything here is pure-functional over (EnvState, MPCState): `make_solve`
+returns a jittable solve that vmaps over batched scenarios and shard_maps
+over device meshes (parallel/mesh.py).
+
+Reference anchors: the inner tracking law is the reference OSC_POSE
+controller (controllers/parts/arm/osc.py:403-495); the task cost mirrors
+the Lift reward terms (environments/manipulation/lift.py:224-273).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional
+
+import jax
+import jax.flatten_util
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from robosuite_tpu.mpc import ilqr as ilqr_mod
+from robosuite_tpu.mpc import mppi as mppi_mod
+from robosuite_tpu.physics.state import State
+
+
+@dataclasses.dataclass(frozen=True)
+class MPCConfig:
+    horizon: int = 64                 # H policy steps per solve
+    n_samples: int = 32               # MPPI rollouts per solve
+    temperature: float = 0.1
+    noise_sigma: float = 0.3
+    gamma: float = 1.0
+    n_knots: int = 8                  # MPPI spline-knot noise (0 = white)
+    n_ilqr_iters: int = 1             # 0 = MPPI-only
+    ilqr_line_search: int = 4
+    ilqr_reg: float = 1e-3
+    parallel_backward: bool = False   # associative-scan Riccati
+    plan_timestep: float = 0.01       # planning-model integrator dt
+    u_cost: float = 0.05              # control-effort residual weight
+
+
+@struct.dataclass
+class MPCState:
+    us: Any    # (H, act_dim) nominal plan
+    rng: Any
+
+
+def init_state(cfg: MPCConfig, act_dim: int, rng) -> MPCState:
+    return MPCState(us=jnp.zeros((cfg.horizon, act_dim)), rng=rng)
+
+
+class RecedingMPC:
+    """Host-side harness binding an env to the MPPI+iLQR solve.
+
+    Args:
+        env: a RobotEnv (single robot) — e.g. Lift.
+        cfg: MPCConfig.
+        residual: optional planning-cost residual r(env, plan_model, qpos,
+            qvel, u) -> (m,) with stage cost 0.5||r||^2; defaults to
+            lift_residual for Lift-style cube tasks.
+    """
+
+    def __init__(self, env, cfg: MPCConfig, residual: Optional[Callable] = None):
+        self.env = env
+        self.cfg = cfg
+        self.plan_model = env.model.replace(timestep=cfg.plan_timestep)
+        self.plan_substeps = max(1, int(round(1.0 / (env.control_freq * cfg.plan_timestep))))
+        if residual is None:
+            residual = lift_residual
+        self._residual = residual
+
+        # template EnvState for (qpos, qvel, grip) <-> EnvState mapping:
+        # OSC goals are overwritten by set_goals each tick ("achieved" mode);
+        # kp/kd are constants in fixed-impedance mode.
+        self._template = env._reset_jit(jax.random.PRNGKey(0))[0]
+        self._nu = env.action_dim
+
+        # ravel structure for the iLQR state x = (qpos, qvel, gripper ramps)
+        grip0 = self._template.ctrl.gripper_action
+        flat, unravel = jax.flatten_util.ravel_pytree(
+            (self._template.physics.qpos, self._template.physics.qvel, grip0)
+        )
+        self._unravel_x = unravel
+        self.nx = flat.shape[0]
+
+    # -- EnvState <-> iLQR state ------------------------------------------------
+    def _to_x(self, env_state):
+        return jax.flatten_util.ravel_pytree(
+            (env_state.physics.qpos, env_state.physics.qvel, env_state.ctrl.gripper_action)
+        )[0]
+
+    def _to_env_state(self, x):
+        qpos, qvel, grip = self._unravel_x(x)
+        t = self._template
+        return t.replace(
+            physics=t.physics.replace(qpos=qpos, qvel=qvel),
+            ctrl=t.ctrl.replace(gripper_action=grip),
+        )
+
+    # -- planning dynamics -------------------------------------------------------
+    def plan_rollout_step(self, env_state, action):
+        """(EnvState, action) -> (EnvState, reward) on the planning model."""
+        return self.env._rollout_impl(
+            env_state, action, model=self.plan_model, n_substeps=self.plan_substeps
+        )
+
+    def _ilqr_dynamics(self, x, u):
+        es, _ = self.plan_rollout_step(self._to_env_state(x), u)
+        return self._to_x(es)
+
+    def _ilqr_residual(self, x, u, t):
+        qpos, qvel, _ = self._unravel_x(x)
+        r_task = self._residual(self.env, self.plan_model, qpos, qvel, u)
+        return jnp.concatenate([r_task, self.cfg.u_cost * u])
+
+    def _ilqr_cost(self, x, u, t):
+        r = self._ilqr_residual(x, u, t)
+        return 0.5 * jnp.sum(r * r)
+
+    def _ilqr_terminal(self, x):
+        return self._ilqr_cost(x, jnp.zeros(self._nu, dtype=x.dtype), 0) * 4.0
+
+    # -- the solve ---------------------------------------------------------------
+    def make_solve(self):
+        """Returns solve(env_state, mpc_state) -> (action, mpc_state',
+        metrics): one full MPC tick (jit/vmap-able)."""
+        cfg = self.cfg
+        env = self.env
+        self._nu = env.action_dim
+        mppi_cfg = mppi_mod.MPPIConfig(
+            horizon=cfg.horizon, n_samples=cfg.n_samples, temperature=cfg.temperature,
+            noise_sigma=cfg.noise_sigma, gamma=cfg.gamma, n_knots=cfg.n_knots,
+        )
+        ilqr_cfg = ilqr_mod.ILQRConfig(
+            horizon=cfg.horizon, n_iterations=cfg.n_ilqr_iters,
+            reg_init=cfg.ilqr_reg, line_search_steps=cfg.ilqr_line_search,
+            parallel_backward=cfg.parallel_backward,
+        )
+        quads = ilqr_mod.gauss_newton_quadratics(self._ilqr_residual)
+
+        def solve(env_state, mpc: MPCState):
+            rng, k_noise = jax.random.split(mpc.rng)
+            # 1. MPPI warm start (full env reward as the sampling objective)
+            mean, metrics = mppi_mod.mppi_step(
+                mppi_cfg, self.plan_rollout_step, env_state, mpc.us, k_noise
+            )
+
+            # 2. iLQR refinement on the raveled state
+            if cfg.n_ilqr_iters > 0:
+                x0 = self._to_x(env_state)
+                sol = ilqr_mod.solve(
+                    ilqr_cfg, self._ilqr_dynamics, self._ilqr_cost,
+                    self._ilqr_terminal, x0, mean, quadratics=quads,
+                )
+                # accept only if the refined plan is finite
+                ok = jnp.all(jnp.isfinite(sol.us))
+                us = jnp.where(ok, jnp.clip(sol.us, -1.0, 1.0), mean)
+                metrics = dict(metrics, ilqr_cost=sol.cost, ilqr_accepted=ok)
+            else:
+                us = mean
+
+            action = us[0]
+            shifted = jnp.concatenate([us[1:], jnp.zeros((1, us.shape[-1]), dtype=us.dtype)])
+            return action, MPCState(us=shifted, rng=rng), metrics
+
+        return solve
+
+
+# -----------------------------------------------------------------------------
+# Task residuals (planning costs). These are smooth least-squares stand-ins
+# for the env rewards — same targets, differentiable-everywhere form (the
+# reference rewards use tanh/step terms, lift.py:224-273).
+# -----------------------------------------------------------------------------
+
+
+def lift_residual(env, plan_model, qpos, qvel, u):
+    """Planning residual for Lift: reach the cube, lift it above the
+    success height (reference lift.py:224-273 reward terms as residuals)."""
+    from robosuite_tpu.physics import kinematics
+
+    kin = kinematics.fk(plan_model, qpos)
+    eef = kin.site_xpos[env.eef_site]
+    cube = kin.xpos[env.cube_body_id]
+    z_target = env.table_top_z + 0.10
+    r_reach = 2.0 * (eef - cube)
+    r_lift = 6.0 * jnp.minimum(cube[2] - z_target, 0.0)[None]
+    r_vel = 0.02 * qvel
+    return jnp.concatenate([r_reach, r_lift, r_vel])

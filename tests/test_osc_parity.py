@@ -101,11 +101,12 @@ def test_osc_torque_parity_rollout(lift_model):
     tau = run_all_probes(lift_model, probe)
     err = np.abs(tau - probe["torques"]).max(axis=1)
     print(f"\nOSC parity (rollout states): max={err.max():.2e} mean={err.mean():.2e}")
-    # BASELINE trajectory tolerance: mean per-step error <= 1e-3. The
-    # float32 forward-error bound for the Lambda solves is cond(A)*eps32
-    # (~5e-3 worst-step here; the reference computes this chain in float64).
+    # BASELINE bound, strict reading: MAX per-step torque error <= 1e-3
+    # along rollout states (met since the Taylor-form small-rotation maps
+    # in utils/transforms.py — r1 measured max 4e-3). The f64 floor on this
+    # fixture is ~5e-4 (residual model difference vs MuJoCo-derived J/M).
     assert err.mean() <= 1e-3, f"mean torque error {err.mean()} exceeds 1e-3 (BASELINE)"
-    assert err.max() <= 1e-2, f"max torque error {err.max()} exceeds f32 bound"
+    assert err.max() <= 1e-3, f"max torque error {err.max()} exceeds 1e-3 (BASELINE)"
 
 
 def test_osc_torque_parity_random_states(lift_model):
