@@ -83,6 +83,8 @@ def spec_from_card(name: str) -> S.ModelSpec:
                 name=a["name"], joint=a["joint"], kind=a["kind"], gear=a.get("gear", 1.0),
                 ctrlrange=a.get("ctrlrange"), forcerange=a.get("forcerange"),
                 kp=a.get("kp", 1.0), kv=a.get("kv", 0.0),
+                tendon=a.get("tendon"), gainprm=a.get("gainprm", 1.0),
+                biasprm=a.get("biasprm", (0.0, 0.0, 0.0)),
             )
         )
     for e in card.get("excludes", []):
@@ -92,8 +94,18 @@ def spec_from_card(name: str) -> S.ModelSpec:
             S.EqualitySpec(
                 kind=e["kind"], body1=e.get("body1"), body2=e.get("body2"),
                 joint1=e.get("joint1"), joint2=e.get("joint2"),
+                tendon1=e.get("tendon1"), tendon2=e.get("tendon2"),
                 anchor=e.get("anchor", (0, 0, 0)), polycoef=e.get("polycoef", (0, 1, 0, 0, 0)),
                 solref=e.get("solref", (0.02, 1.0)),
+            )
+        )
+    for t in card.get("tendons", []):
+        ms.tendons.append(
+            S.TendonSpec(
+                name=t["name"], joints=t["joints"], coefs=t["coefs"],
+                range=t.get("range"), limited=t.get("limited"),
+                stiffness=t.get("stiffness", 0.0), springlength=t.get("springlength"),
+                frictionloss=t.get("frictionloss", 0.0), damping=t.get("damping", 0.0),
             )
         )
     return ms

@@ -47,28 +47,33 @@ class GripperModel:
             assert len(ms.worldbody.children) == 1
             self._root = ms.worldbody.children[0]
             self._root.apply_prefix(self.naming_prefix)
-            # tendon-transmission actuators (joint=None) are skipped: the
-            # tendon/equality subsystem is not yet modeled (XArm7Gripper
-            # synthesizes per-joint servos instead)
+            p = self.naming_prefix
             self._actuators = [
                 S.ActuatorSpec(
-                    name=self.naming_prefix + a.name, joint=self.naming_prefix + a.joint, kind=a.kind,
+                    name=p + a.name, joint=p + a.joint if a.joint else None, kind=a.kind,
                     gear=a.gear, ctrlrange=a.ctrlrange, forcerange=a.forcerange, kp=a.kp, kv=a.kv,
+                    tendon=p + a.tendon if a.tendon else None,
+                    gainprm=a.gainprm, biasprm=a.biasprm,
                 )
                 for a in ms.actuators
-                if a.joint is not None
             ]
             import dataclasses as _dc
 
             self._equalities = [
                 _dc.replace(
                     e,
-                    body1=self.naming_prefix + e.body1 if e.body1 else None,
-                    body2=self.naming_prefix + e.body2 if e.body2 else None,
-                    joint1=self.naming_prefix + e.joint1 if e.joint1 else None,
-                    joint2=self.naming_prefix + e.joint2 if e.joint2 else None,
+                    body1=p + e.body1 if e.body1 else None,
+                    body2=p + e.body2 if e.body2 else None,
+                    joint1=p + e.joint1 if e.joint1 else None,
+                    joint2=p + e.joint2 if e.joint2 else None,
+                    tendon1=p + e.tendon1 if e.tendon1 else None,
+                    tendon2=p + e.tendon2 if e.tendon2 else None,
                 )
                 for e in ms.equalities
+            ]
+            self._tendons = [
+                _dc.replace(t, name=p + t.name, joints=[p + j for j in t.joints])
+                for t in ms.tendons
             ]
 
     @property
@@ -116,6 +121,9 @@ class GripperModel:
 
     def equalities(self):
         return list(getattr(self, "_equalities", []))
+
+    def tendons(self):
+        return list(getattr(self, "_tendons", []))
 
     def format_action_direction(self):
         """Per-actuator sign applied to the ramped open/close command
@@ -287,24 +295,15 @@ class NullGripper(GripperModel):
 
 @register_gripper
 class XArm7Gripper(GripperModel):
-    """reference xarm7_gripper.py. The real gripper is a tendon+equality
-    driven linkage; until those constraints land, per-joint position servos
-    approximate the coupled closure."""
+    """reference xarm7_gripper.py: the real tendon+equality-driven linkage —
+    ONE <general biastype="affine"> servo on the "split" fixed tendon
+    (0.5*left_driver + 0.5*right_driver), connect equalities closing the
+    four-bar fingers (xarm7_gripper.xml). +1 = close (ctrl ramps 0..255,
+    pulling the tendon toward its 0.85 closure length)."""
 
     card_name = "xarm7_gripper"
     dof = 1
     speed = 0.2
-
-    def __init__(self, idn=0, arm="right"):
-        super().__init__(idn=idn, arm=arm)
-        for jname in ("left_driver_joint", "right_driver_joint"):
-            self._actuators.append(
-                S.ActuatorSpec(
-                    name=self.naming_prefix + jname + "_servo",
-                    joint=self.naming_prefix + jname,
-                    kind="position", kp=100.0, ctrlrange=(0.0, 0.85), forcerange=(-50, 50),
-                )
-            )
 
     @property
     def init_qpos(self):
@@ -320,7 +319,7 @@ class XArm7Gripper(GripperModel):
         }
 
     def format_action_direction(self):
-        return np.array([1.0, -1.0])
+        return np.array([1.0])
 
 
 @register_gripper

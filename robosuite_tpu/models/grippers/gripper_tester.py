@@ -34,6 +34,8 @@ class GripperTester:
             ms.actuators.append(a)
         for e in self.gripper.equalities():
             ms.equalities.append(e)
+        for t in self.gripper.tendons():
+            ms.tendons.append(t)
         ms.add_actuator(S.ActuatorSpec("lift_z", joint="mount_z", kind="position", kp=500.0, ctrlrange=(-0.3, 0.3)))
 
         self.box = BoxObject("obj", size=box_size, density=200.0)

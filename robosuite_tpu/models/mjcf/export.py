@@ -123,10 +123,33 @@ def export_xml(ms: S.ModelSpec, exclude_visual=False) -> str:
 
     emit_body(wb, ms.worldbody, is_world=True)
 
+    if ms.tendons:
+        ten_el = ET.SubElement(root, "tendon")
+        for t in ms.tendons:
+            attrs = {"name": t.name}
+            if t.range is not None:
+                attrs["range"] = _fmt(t.range)
+                attrs["limited"] = "true"
+            if t.stiffness:
+                attrs["stiffness"] = f"{t.stiffness:.17g}"
+            if t.springlength is not None:
+                attrs["springlength"] = f"{t.springlength:.17g}"
+            if t.frictionloss:
+                attrs["frictionloss"] = f"{t.frictionloss:.17g}"
+            if t.damping:
+                attrs["damping"] = f"{t.damping:.17g}"
+            f_el = ET.SubElement(ten_el, "fixed", **attrs)
+            for jname, coef in zip(t.joints, t.coefs):
+                ET.SubElement(f_el, "joint", joint=jname, coef=f"{coef:.17g}")
+
     if ms.actuators:
         act_el = ET.SubElement(root, "actuator")
         for a in ms.actuators:
-            attrs = {"name": a.name, "joint": a.joint, "gear": f"{a.gear:.17g}"}
+            attrs = {"name": a.name, "gear": f"{a.gear:.17g}"}
+            if a.joint is not None:
+                attrs["joint"] = a.joint
+            else:
+                attrs["tendon"] = a.tendon
             if a.ctrlrange is not None:
                 attrs["ctrlrange"] = _fmt(a.ctrlrange)
                 attrs["ctrllimited"] = "true"
@@ -138,6 +161,14 @@ def export_xml(ms: S.ModelSpec, exclude_visual=False) -> str:
             elif a.kind == "position":
                 attrs["kp"] = f"{a.kp:.17g}"
                 ET.SubElement(act_el, "position", **attrs)
+            elif a.kind == "general":
+                attrs["gainprm"] = f"{a.gainprm:.17g}"
+                import numpy as _np
+
+                if _np.any(_np.asarray(a.biasprm) != 0):
+                    attrs["biastype"] = "affine"
+                    attrs["biasprm"] = _fmt(a.biasprm)
+                ET.SubElement(act_el, "general", **attrs)
             else:
                 attrs["kv"] = f"{a.kv:.17g}"
                 ET.SubElement(act_el, "velocity", **attrs)
@@ -146,5 +177,27 @@ def export_xml(ms: S.ModelSpec, exclude_visual=False) -> str:
         con_el = ET.SubElement(root, "contact")
         for ex in ms.excludes:
             ET.SubElement(con_el, "exclude", body1=ex.body1, body2=ex.body2)
+
+    if ms.equalities:
+        eq_el = ET.SubElement(root, "equality")
+        for e in ms.equalities:
+            if e.kind == "connect":
+                ET.SubElement(eq_el, "connect", body1=e.body1, body2=e.body2,
+                              anchor=_fmt(e.anchor), solref=_fmt(e.solref))
+            elif e.kind == "weld":
+                ET.SubElement(eq_el, "weld", body1=e.body1, body2=e.body2,
+                              solref=_fmt(e.solref))
+            elif e.kind == "tendon":
+                attrs = {"tendon1": e.tendon1, "polycoef": _fmt(e.polycoef),
+                         "solref": _fmt(e.solref)}
+                if e.tendon2:
+                    attrs["tendon2"] = e.tendon2
+                ET.SubElement(eq_el, "tendon", **attrs)
+            else:
+                attrs = {"joint1": e.joint1, "polycoef": _fmt(e.polycoef),
+                         "solref": _fmt(e.solref)}
+                if e.joint2:
+                    attrs["joint2"] = e.joint2
+                ET.SubElement(eq_el, "joint", **attrs)
 
     return ET.tostring(root, encoding="unicode")

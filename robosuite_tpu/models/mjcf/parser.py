@@ -318,16 +318,36 @@ def parse_mjcf(path_or_string, name: Optional[str] = None) -> S.ModelSpec:
                     )
                 )
 
+    ten_el = root.find("tendon")
+    if ten_el is not None:
+        for t_el in ten_el.findall("fixed"):
+            a = defaults.resolve("tendon", t_el, t_el.get("class"))
+            joints_coefs = [
+                (j.get("joint"), float(j.get("coef", "1"))) for j in t_el.findall("joint")
+            ]
+            kw = dict(
+                name=a.get("name") or _auto("tendon"),
+                joints=[jc[0] for jc in joints_coefs],
+                coefs=[jc[1] for jc in joints_coefs],
+            )
+            if "range" in a and a.get("limited", "true") != "false":
+                kw["range"] = _parse_floats(a["range"], 2)
+            for f in ("stiffness", "springlength", "frictionloss", "damping"):
+                if f in a:
+                    kw[f] = float(_parse_floats(a[f])[0])
+            ms.tendons.append(S.TendonSpec(**kw))
+
     act_el = root.find("actuator")
     if act_el is not None:
         for a_el in act_el:
             a = defaults.resolve(a_el.tag, a_el, a_el.get("class"))
             if a_el.tag not in ("motor", "position", "velocity", "general"):
                 continue
-            kind = {"motor": "motor", "position": "position", "velocity": "velocity", "general": "motor"}[a_el.tag]
+            kind = a_el.tag
             kw = dict(
                 name=a.get("name") or _auto("act"),
                 joint=a.get("joint"),
+                tendon=a.get("tendon"),
                 kind=kind,
             )
             if "gear" in a:
@@ -340,6 +360,12 @@ def parse_mjcf(path_or_string, name: Optional[str] = None) -> S.ModelSpec:
                 kw["kp"] = float(a["kp"])
             if "kv" in a:
                 kw["kv"] = float(a["kv"])
+            if kind == "general":
+                # fixed gain + (affine) bias; MuJoCo defaults gain=1, bias=0
+                kw["gainprm"] = float(_parse_floats(a["gainprm"])[0]) if "gainprm" in a else 1.0
+                if a.get("biastype", "none") == "affine" and "biasprm" in a:
+                    bp = _parse_floats(a["biasprm"])
+                    kw["biasprm"] = np.pad(bp, (0, 3))[:3]
             ms.actuators.append(S.ActuatorSpec(**kw))
 
     con_el = root.find("contact")
@@ -362,6 +388,14 @@ def parse_mjcf(path_or_string, name: Optional[str] = None) -> S.ModelSpec:
                 ms.equalities.append(
                     S.EqualitySpec(
                         kind="joint", joint1=e.get("joint1"), joint2=e.get("joint2"),
+                        polycoef=np.pad(_parse_floats(e.get("polycoef", "0 1 0 0 0")), (0, 5))[:5],
+                        solref=_parse_floats(e.get("solref", "0.02 1"), 2),
+                    )
+                )
+            elif e.tag == "tendon":
+                ms.equalities.append(
+                    S.EqualitySpec(
+                        kind="tendon", tendon1=e.get("tendon1"), tendon2=e.get("tendon2"),
                         polycoef=np.pad(_parse_floats(e.get("polycoef", "0 1 0 0 0")), (0, 5))[:5],
                         solref=_parse_floats(e.get("solref", "0.02 1"), 2),
                     )

@@ -60,13 +60,17 @@ class Model:
     site_bodyid: Tuple[int, ...] = _static()
     cam_bodyid: Tuple[int, ...] = _static()
     actuator_kind: Tuple[str, ...] = _static()
-    actuator_jntid: Tuple[int, ...] = _static()
+    actuator_jntid: Tuple[int, ...] = _static()   # -1 for tendon transmission
+    actuator_tenid: Tuple[int, ...] = _static()   # -1 for joint transmission
     pair_geom1: Tuple[int, ...] = _static()
     pair_geom2: Tuple[int, ...] = _static()
     neq: int = _static()
     eq_kind: Tuple[str, ...] = _static()
-    eq_obj1: Tuple[int, ...] = _static()   # body id (connect/weld) or joint id (joint)
+    eq_obj1: Tuple[int, ...] = _static()   # body id (connect/weld), joint id (joint), tendon id (tendon)
     eq_obj2: Tuple[int, ...] = _static()
+    ntendon: int = _static()
+    tendon_names: Tuple[str, ...] = _static()
+    tendon_limited: Tuple[int, ...] = _static()
 
     body_names: Tuple[str, ...] = _static()
     jnt_names: Tuple[str, ...] = _static()
@@ -114,9 +118,21 @@ class Model:
     actuator_gear: Any = None       # (nu,)
     actuator_ctrlrange: Any = None  # (nu, 2)
     actuator_forcerange: Any = None # (nu, 2)
-    actuator_gainprm: Any = None    # (nu,) kp for position, kv for velocity
+    actuator_gainprm: Any = None    # (nu,) kp / kv / general gain
+    actuator_biasprm: Any = None    # (nu, 3) general affine bias
     actuator_ctrllimited: Any = None  # (nu,)
     actuator_forcelimited: Any = None # (nu,)
+
+    # fixed tendons (MJCF <tendon><fixed>): length = ten_Jq @ qpos + const;
+    # moment/velocity rows live on the dof axis (ten_J)
+    ten_J: Any = None             # (ntendon, nv) constant moment rows
+    ten_Jq: Any = None            # (ntendon, nq) length rows
+    ten_range: Any = None         # (ntendon, 2)
+    ten_stiffness: Any = None     # (ntendon,)
+    ten_springlength: Any = None  # (ntendon,)
+    ten_frictionloss: Any = None  # (ntendon,)
+    ten_damping: Any = None       # (ntendon,)
+    ten_length0: Any = None       # (ntendon,) length at qpos0
 
     eq_anchor: Any = None         # (neq, 3) body1-frame anchor (connect)
     eq_anchor2: Any = None        # (neq, 3) body2-frame anchor (compiled)
@@ -151,6 +167,9 @@ class Model:
 
     def actuator_name2id(self, name: str) -> int:
         return self.actuator_names.index(name)
+
+    def tendon_name2id(self, name: str) -> int:
+        return self.tendon_names.index(name)
 
     def jnt_qpos_slice(self, name: str):
         j = self.jnt_name2id(name)
@@ -489,20 +508,61 @@ def compile_spec(ms: S.ModelSpec, dtype=np.float32) -> Model:
             dof_armature[adr + k] = max(j.armature, floor)
             dof_frictionloss[adr + k] = j.frictionloss
 
-    # actuators
+    # fixed tendons: constant coupling rows on the qpos/dof axes
     jnt_id = {j.name: i for i, j in enumerate(joints)}
+    ntendon = len(ms.tendons)
+    ten_id = {t.name: i for i, t in enumerate(ms.tendons)}
+    assert len(ten_id) == ntendon, "duplicate tendon names"
+    ten_J = np.zeros((ntendon, nv))
+    ten_Jq = np.zeros((ntendon, max(nq, 1)))[:, :nq]
+    ten_range = np.zeros((ntendon, 2))
+    tendon_limited = []
+    ten_stiffness = np.zeros(ntendon)
+    ten_springlength = np.zeros(ntendon)
+    ten_frictionloss = np.zeros(ntendon)
+    ten_damping = np.zeros(ntendon)
+    ten_length0 = np.zeros(ntendon)
+    for t_i, t in enumerate(ms.tendons):
+        for jname, coef in zip(t.joints, t.coefs):
+            assert jname in jnt_id, f"tendon {t.name}: unknown joint {jname}"
+            j = jnt_id[jname]
+            assert joints[j].type in ("hinge", "slide"), (
+                f"tendon {t.name}: fixed tendons couple scalar joints only"
+            )
+            ten_J[t_i, jnt_dofadr[j]] += coef
+            ten_Jq[t_i, jnt_qposadr[j]] += coef
+        if t.range is not None:
+            ten_range[t_i] = t.range
+        tendon_limited.append(1 if t.limited else 0)
+        ten_stiffness[t_i] = t.stiffness
+        ten_frictionloss[t_i] = t.frictionloss
+        ten_damping[t_i] = t.damping
+        ten_length0[t_i] = float(ten_Jq[t_i] @ qpos0) if nq else 0.0
+        # MJCF springlength default -1 -> spring rest at the qpos0 length
+        ten_springlength[t_i] = (
+            t.springlength if t.springlength is not None else ten_length0[t_i]
+        )
+
+    # actuators
     nu = len(ms.actuators)
-    actuator_kind, actuator_jntid = [], []
+    actuator_kind, actuator_jntid, actuator_tenid = [], [], []
     actuator_gear = np.ones(nu)
     actuator_ctrlrange = np.zeros((nu, 2))
     actuator_forcerange = np.zeros((nu, 2))
     actuator_gainprm = np.zeros(nu)
+    actuator_biasprm = np.zeros((nu, 3))
     actuator_ctrllimited = np.zeros(nu)
     actuator_forcelimited = np.zeros(nu)
     for a_i, a in enumerate(ms.actuators):
-        assert a.joint in jnt_id, f"actuator {a.name}: unknown joint {a.joint}"
         actuator_kind.append(a.kind)
-        actuator_jntid.append(jnt_id[a.joint])
+        if a.tendon is not None:
+            assert a.tendon in ten_id, f"actuator {a.name}: unknown tendon {a.tendon}"
+            actuator_jntid.append(-1)
+            actuator_tenid.append(ten_id[a.tendon])
+        else:
+            assert a.joint in jnt_id, f"actuator {a.name}: unknown joint {a.joint}"
+            actuator_jntid.append(jnt_id[a.joint])
+            actuator_tenid.append(-1)
         actuator_gear[a_i] = a.gear
         if a.ctrlrange is not None:
             actuator_ctrlrange[a_i] = a.ctrlrange
@@ -510,7 +570,11 @@ def compile_spec(ms: S.ModelSpec, dtype=np.float32) -> Model:
         if a.forcerange is not None:
             actuator_forcerange[a_i] = a.forcerange
             actuator_forcelimited[a_i] = 1.0
-        actuator_gainprm[a_i] = a.kp if a.kind == "position" else (a.kv if a.kind == "velocity" else 0.0)
+        if a.kind == "general":
+            actuator_gainprm[a_i] = a.gainprm
+            actuator_biasprm[a_i] = a.biasprm
+        else:
+            actuator_gainprm[a_i] = a.kp if a.kind == "position" else (a.kv if a.kind == "velocity" else 0.0)
 
     # collision pairs
     pairs = _enumerate_pairs(bodies, geoms, geom_bodyid, body_parentid, body_weldid, ms.excludes, body_id)
@@ -561,6 +625,10 @@ def compile_spec(ms: S.ModelSpec, dtype=np.float32) -> Model:
                 # world anchor at qpos0 -> body2 frame
                 wa = xpos0[b1] + _quat2mat_np(xquat0[b1]) @ eq.anchor
                 eq_anchor2[i] = _quat2mat_np(xquat0[b2]).T @ (wa - xpos0[b2])
+            elif eq.kind == "tendon":
+                eq_obj1.append(ten_id[eq.tendon1])
+                eq_obj2.append(ten_id[eq.tendon2] if eq.tendon2 else -1)
+                eq_polycoef[i] = eq.polycoef
             else:  # joint
                 eq_obj1.append(jnt_id[eq.joint1])
                 eq_obj2.append(jnt_id[eq.joint2] if eq.joint2 else -1)
@@ -608,6 +676,10 @@ def compile_spec(ms: S.ModelSpec, dtype=np.float32) -> Model:
         cam_bodyid=tuple(cam_bodyid),
         actuator_kind=tuple(actuator_kind),
         actuator_jntid=tuple(actuator_jntid),
+        actuator_tenid=tuple(actuator_tenid),
+        ntendon=ntendon,
+        tendon_names=tuple(t.name for t in ms.tendons),
+        tendon_limited=tuple(tendon_limited),
         pair_geom1=tuple(p[0] for p in pairs),
         pair_geom2=tuple(p[1] for p in pairs),
         neq=neq,
@@ -654,6 +726,15 @@ def compile_spec(ms: S.ModelSpec, dtype=np.float32) -> Model:
         actuator_ctrlrange=jnp_(actuator_ctrlrange),
         actuator_forcerange=jnp_(actuator_forcerange),
         actuator_gainprm=jnp_(actuator_gainprm),
+        actuator_biasprm=jnp_(actuator_biasprm),
+        ten_J=jnp_(ten_J),
+        ten_Jq=jnp_(ten_Jq),
+        ten_range=jnp_(ten_range),
+        ten_stiffness=jnp_(ten_stiffness),
+        ten_springlength=jnp_(ten_springlength),
+        ten_frictionloss=jnp_(ten_frictionloss),
+        ten_damping=jnp_(ten_damping),
+        ten_length0=jnp_(ten_length0),
         actuator_ctrllimited=jnp_(actuator_ctrllimited),
         actuator_forcelimited=jnp_(actuator_forcelimited),
         eq_anchor=jnp_(eq_anchor),

@@ -284,6 +284,9 @@ class ManipulatorModel:
         if not hasattr(self, "_equalities"):
             self._equalities = []
         self._equalities.extend(gripper.equalities())
+        if not hasattr(self, "_tendons"):
+            self._tendons = []
+        self._tendons.extend(gripper.tendons())
         self.grippers[arm] = gripper
 
     def set_base_xpos(self, xpos):
@@ -327,6 +330,9 @@ class ManipulatorModel:
 
     def equalities(self) -> List[S.EqualitySpec]:
         return list(getattr(self, "_equalities", []))
+
+    def tendons(self) -> List[S.TendonSpec]:
+        return list(getattr(self, "_tendons", []))
 
     @property
     def arm_joint_names(self) -> Dict[str, List[str]]:

@@ -280,28 +280,69 @@ class BodySpec:
 
 
 @dataclass
-class ActuatorSpec:
-    """Joint-transmission actuator: motor / position / velocity.
+class TendonSpec:
+    """Fixed tendon: length = sum(coef_i * qpos_i) over scalar joints.
 
-    Covers the actuator types used across the reference's robots and
-    grippers (<motor>, <position kp=...>, <velocity kv=...>).
+    Mirrors MJCF <tendon><fixed> as used by the reference's coupled
+    grippers (robotiq_gripper_85/140/s, jaco_three_finger, xarm7:
+    /root/reference/robosuite/models/assets/grippers/*.xml). Spatial
+    tendons (site-routed) are not used by any reference asset.
     """
 
     name: str
-    joint: str
-    kind: str = "motor"  # motor | position | velocity
+    joints: Sequence[str] = ()
+    coefs: Sequence[float] = ()
+    range: Optional[Sequence[float]] = None
+    limited: Optional[bool] = None
+    stiffness: float = 0.0
+    springlength: Optional[float] = None  # None -> rest length at qpos0
+    frictionloss: float = 0.0
+    damping: float = 0.0
+
+    def __post_init__(self):
+        assert len(self.joints) == len(self.coefs)
+        self.joints = list(self.joints)
+        self.coefs = [float(c) for c in self.coefs]
+        if self.limited is None:
+            self.limited = self.range is not None
+        if self.range is not None:
+            self.range = _arr(self.range, 2)
+
+
+@dataclass
+class ActuatorSpec:
+    """Actuator: motor / position / velocity / general, with joint or
+    fixed-tendon transmission.
+
+    Covers the actuator types used across the reference's robots and
+    grippers (<motor>, <position kp=...>, <velocity kv=...>, and the
+    xarm7 gripper's <general biastype="affine" tendon="split">).
+    `general` force law: gainprm*ctrl + biasprm[0] + biasprm[1]*length +
+    biasprm[2]*velocity (MuJoCo fixed-gain + affine bias).
+    """
+
+    name: str
+    joint: Optional[str] = None
+    kind: str = "motor"  # motor | position | velocity | general
     gear: float = 1.0
     ctrlrange: Optional[Sequence[float]] = None
     forcerange: Optional[Sequence[float]] = None
     kp: float = 1.0
     kv: float = 0.0
+    tendon: Optional[str] = None
+    gainprm: float = 1.0                       # general only
+    biasprm: Sequence[float] = (0.0, 0.0, 0.0)  # general only
 
     def __post_init__(self):
-        assert self.kind in ("motor", "position", "velocity"), self.kind
+        assert self.kind in ("motor", "position", "velocity", "general"), self.kind
+        assert (self.joint is None) != (self.tendon is None), (
+            f"actuator {self.name}: exactly one of joint/tendon required"
+        )
         if self.ctrlrange is not None:
             self.ctrlrange = _arr(self.ctrlrange, 2)
         if self.forcerange is not None:
             self.forcerange = _arr(self.forcerange, 2)
+        self.biasprm = _arr(self.biasprm, 3, default=(0.0, 0.0, 0.0))
 
 
 @dataclass
@@ -329,23 +370,28 @@ class ExcludeSpec:
 
 @dataclass
 class EqualitySpec:
-    """Equality constraint (MJCF <equality>): connect | joint | weld.
+    """Equality constraint (MJCF <equality>): connect | joint | weld | tendon.
 
     connect: holds a point (anchor, body1-frame) coincident across bodies.
     joint: couples joint1 to polycoef(joint2).
+    tendon: couples tendon1's length to polycoef(tendon2's length); with no
+    tendon2, pins tendon1's length to polycoef[0] (the coupled-gripper
+    pattern, e.g. robotiq_gripper_s.xml <equality><tendon .../>).
     """
 
-    kind: str                      # connect | joint | weld
+    kind: str                      # connect | joint | weld | tendon
     body1: Optional[str] = None
     body2: Optional[str] = None
     joint1: Optional[str] = None
     joint2: Optional[str] = None
+    tendon1: Optional[str] = None
+    tendon2: Optional[str] = None
     anchor: Sequence[float] = (0.0, 0.0, 0.0)
     polycoef: Sequence[float] = (0.0, 1.0, 0.0, 0.0, 0.0)
     solref: Sequence[float] = (0.02, 1.0)
 
     def __post_init__(self):
-        assert self.kind in ("connect", "joint", "weld"), self.kind
+        assert self.kind in ("connect", "joint", "weld", "tendon"), self.kind
         self.anchor = _arr(self.anchor, 3)
         self.polycoef = _arr(self.polycoef, 5)
         self.solref = _arr(self.solref, 2)
@@ -365,6 +411,7 @@ class ModelSpec:
         self.actuators: List[ActuatorSpec] = []
         self.excludes: List[ExcludeSpec] = []
         self.equalities: List[EqualitySpec] = []
+        self.tendons: List[TendonSpec] = []
 
     # -- composition ---------------------------------------------------------
     def add_actuator(self, act: ActuatorSpec) -> ActuatorSpec:
@@ -385,8 +432,19 @@ class ModelSpec:
             attach_to.children.append(child)
         for act in other.actuators:
             if prefix:
-                act = dataclasses.replace(act, name=prefix + act.name, joint=prefix + act.joint)
+                act = dataclasses.replace(
+                    act,
+                    name=prefix + act.name,
+                    joint=prefix + act.joint if act.joint else None,
+                    tendon=prefix + act.tendon if act.tendon else None,
+                )
             self.actuators.append(act)
+        for ten in other.tendons:
+            if prefix:
+                ten = dataclasses.replace(
+                    ten, name=prefix + ten.name, joints=[prefix + j for j in ten.joints]
+                )
+            self.tendons.append(ten)
         for ex in other.excludes:
             if prefix:
                 ex = ExcludeSpec(prefix + ex.body1, prefix + ex.body2)
@@ -399,6 +457,8 @@ class ModelSpec:
                     body2=prefix + eq.body2 if eq.body2 else None,
                     joint1=prefix + eq.joint1 if eq.joint1 else None,
                     joint2=prefix + eq.joint2 if eq.joint2 else None,
+                    tendon1=prefix + eq.tendon1 if eq.tendon1 else None,
+                    tendon2=prefix + eq.tendon2 if eq.tendon2 else None,
                 )
             self.equalities.append(eq)
         return self

@@ -81,6 +81,8 @@ class ManipulationTask:
                 ms.actuators.append(a)
             for e in robot.equalities():
                 ms.equalities.append(e)
+            for t in robot.tendons():
+                ms.tendons.append(t)
 
         for obj in self.objects:
             ms.worldbody.children.append(obj.get_obj())

@@ -49,6 +49,15 @@ class ILQRConfig:
     line_search_steps: int = 8
     parallel_backward: bool = False  # associative-scan Riccati over H
     use_jacfwd: bool = True          # forward-mode linearization (nx+nu tangents)
+    use_fd: bool = False             # finite-difference fx/fu (see below)
+    fd_eps: float = 1e-3
+    # use_fd: forward-difference linearization via (nx+nu) extra dynamics
+    # evaluations, all vmapped through the SAME compiled forward step (the
+    # Pallas kernels batch over the perturbation axis). For contact-physics
+    # dynamics this is the TPU-right choice: autodiff tangents must ride the
+    # XLA reference path (custom_jvp boundary), whose H*(nx+nu)-tangent
+    # graph explodes XLA compile time at H=64, while FD reuses one forward
+    # graph — the same trade MuJoCo MPC makes with its FD derivatives.
 
 
 @struct.dataclass
@@ -232,9 +241,24 @@ def solve(cfg: ILQRConfig, dynamics: Callable, cost: Callable, terminal_cost: Ca
     nu = us_init.shape[-1]
     H = us_init.shape[0]
 
-    jac = jax.jacfwd if cfg.use_jacfwd else jax.jacrev
-    fx_fn = jac(dynamics, argnums=0)
-    fu_fn = jac(dynamics, argnums=1)
+    if cfg.use_fd:
+        def fx_fn(x, u):
+            f0 = dynamics(x, u)
+            cols = jax.vmap(
+                lambda e: (dynamics(x + cfg.fd_eps * e, u) - f0) / cfg.fd_eps
+            )(jnp.eye(x.shape[0], dtype=x.dtype))
+            return cols.T
+
+        def fu_fn(x, u):
+            f0 = dynamics(x, u)
+            cols = jax.vmap(
+                lambda e: (dynamics(x, u + cfg.fd_eps * e) - f0) / cfg.fd_eps
+            )(jnp.eye(u.shape[0], dtype=u.dtype))
+            return cols.T
+    else:
+        jac = jax.jacfwd if cfg.use_jacfwd else jax.jacrev
+        fx_fn = jac(dynamics, argnums=0)
+        fu_fn = jac(dynamics, argnums=1)
     if quadratics is None:
         cx_fn = jax.grad(cost, argnums=0)
         cu_fn = jax.grad(cost, argnums=1)

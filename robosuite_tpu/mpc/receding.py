@@ -55,6 +55,9 @@ class MPCConfig:
     n_ilqr_iters: int = 1             # 0 = MPPI-only
     ilqr_line_search: int = 4
     ilqr_reg: float = 1e-3
+    ilqr_fd: bool = True              # FD linearization (jacfwd through the
+                                      # contact rollout explodes XLA compile
+                                      # time at H=64; see ILQRConfig.use_fd)
     parallel_backward: bool = False   # associative-scan Riccati
     plan_timestep: float = 0.01       # planning-model integrator dt
     u_cost: float = 0.05              # control-effort residual weight
@@ -155,7 +158,7 @@ class RecedingMPC:
         ilqr_cfg = ilqr_mod.ILQRConfig(
             horizon=cfg.horizon, n_iterations=cfg.n_ilqr_iters,
             reg_init=cfg.ilqr_reg, line_search_steps=cfg.ilqr_line_search,
-            parallel_backward=cfg.parallel_backward,
+            parallel_backward=cfg.parallel_backward, use_fd=cfg.ilqr_fd,
         )
         quads = ilqr_mod.gauss_newton_quadratics(self._ilqr_residual)
 

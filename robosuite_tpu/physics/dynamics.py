@@ -260,3 +260,43 @@ def joint_limit_forces(model, qpos, qvel, Mdiag=None, solref=(0.02, 1.0)):
     active = ((d_lo > 0) | (d_hi > 0)).astype(qfrc.dtype)
     limited = jnp.asarray(model.jnt_limited)[jids]
     return qfrc.at[dadr].add(limited * f), damp.at[dadr].add(limited * active * b)
+
+
+def tendon_forces(model, qpos, qvel, Mdiag=None, solref=(0.02, 1.0)):
+    """Fixed-tendon passive forces: spring, smooth dry friction, and
+    range-limit spring-dampers (MuJoCo tendon stiffness/frictionloss/limited
+    semantics; the limit constraint becomes the same mass-scaled compliant
+    law as joint_limit_forces).
+
+    Returns (qfrc, extra_damping_diag): the damping part of the limit law
+    and tendon damping are diagonalized onto dofs (J^T b J ≈ diag(b J_i^2))
+    and folded into the engine's implicit (M + dt*diag(D)) velocity solve —
+    explicit tendon-limit damping on light finger links diverges exactly
+    like explicit joint-limit damping does."""
+    qfrc = jnp.zeros_like(qvel)
+    damp = jnp.zeros_like(qvel)
+    if model.ntendon == 0:
+        return qfrc, damp
+    L = model.ten_Jq @ qpos    # (ntendon,)
+    V = model.ten_J @ qvel
+    f = -model.ten_stiffness * (L - model.ten_springlength)
+    f = f - model.ten_frictionloss * jnp.tanh(V / 0.005)
+
+    # range limits (one-sided springs, mass-scaled impedance)
+    timeconst, dampratio = solref
+    m_eff = (
+        (model.ten_J ** 2) @ Mdiag if Mdiag is not None else jnp.ones_like(L)
+    )  # effective inertia along the tendon (diagonal approximation)
+    d_imp, dmax = 0.9, 0.95
+    k_lim = d_imp / (dmax * dmax * timeconst * timeconst * dampratio * dampratio) * m_eff
+    b_lim = 2.0 / (dmax * timeconst) * m_eff
+    d_lo = model.ten_range[:, 0] - L
+    d_hi = L - model.ten_range[:, 1]
+    limited = jnp.asarray(model.tendon_limited, dtype=qfrc.dtype)
+    active = ((d_lo > 0) | (d_hi > 0)).astype(qfrc.dtype) * limited
+    f = f + limited * k_lim * (jnp.maximum(d_lo, 0.0) - jnp.maximum(d_hi, 0.0))
+
+    qfrc = qfrc + f @ model.ten_J
+    b_total = active * b_lim + model.ten_damping
+    damp = damp + b_total @ (model.ten_J ** 2)
+    return qfrc, damp

@@ -25,26 +25,17 @@ from robosuite_tpu.ops import linalg as fastla
 
 def actuator_forces(model, qpos, qvel, ctrl):
     """Map actuator controls to generalized forces (MuJoCo transmission:
-    joint, gear scaling; motor/position/velocity gain-bias models).
+    joint or fixed-tendon, gear scaling; motor/position/velocity/general
+    gain-bias models — general = fixed gain + affine bias, the xarm7
+    gripper's tendon servo).
 
     Vectorized over all actuators in one gather/scatter pass (the per-
-    actuator loop emitted ~5 sequential HLO ops per actuator per substep)."""
+    actuator loop emitted ~5 sequential HLO ops per actuator per substep);
+    tendon transmissions ride two tiny (nu_ten, n{q,v}) matmuls."""
     qfrc = jnp.zeros_like(qvel)
     if model.nu == 0:
         return qfrc
     import numpy as np
-
-    jids = np.array([model.actuator_jntid[a] for a in range(model.nu)], dtype=np.int32)
-    dadr = np.array([model.jnt_dofadr[j] for j in jids], dtype=np.int32)
-    qadr = np.array([model.jnt_qposadr[j] for j in jids], dtype=np.int32)
-    # static kind selectors (0 motor, 1 position, 2 velocity)
-    kind = np.array(
-        [{"motor": 0, "position": 1, "velocity": 2}[model.actuator_kind[a]] for a in range(model.nu)],
-        dtype=np.int32,
-    )
-    is_pos = jnp.asarray((kind == 1).astype(np.float32))
-    is_vel = jnp.asarray((kind == 2).astype(np.float32))
-    is_motor = jnp.asarray((kind == 0).astype(np.float32))
 
     gear = model.actuator_gear
     c = jnp.where(
@@ -53,16 +44,54 @@ def actuator_forces(model, qpos, qvel, ctrl):
         ctrl,
     )
     g = model.actuator_gainprm
+    kind = np.array(
+        [
+            {"motor": 0, "position": 1, "velocity": 2, "general": 3}[model.actuator_kind[a]]
+            for a in range(model.nu)
+        ],
+        dtype=np.int32,
+    )
+    jids = np.array([model.actuator_jntid[a] for a in range(model.nu)], dtype=np.int32)
+    tids = np.array([model.actuator_tenid[a] for a in range(model.nu)], dtype=np.int32)
+    # transmission length / velocity per actuator (actuator units: gear *
+    # joint coordinate, or gear * tendon length)
+    dadr = np.array([model.jnt_dofadr[j] if j >= 0 else 0 for j in jids], dtype=np.int32)
+    qadr = np.array([model.jnt_qposadr[j] if j >= 0 else 0 for j in jids], dtype=np.int32)
+    if np.any(tids >= 0):
+        ten_L = model.ten_Jq @ qpos  # (ntendon,)
+        ten_V = model.ten_J @ qvel
+        is_ten = jnp.asarray((tids >= 0).astype(np.float32))
+        t_safe = np.where(tids >= 0, tids, 0)
+        length = gear * jnp.where(is_ten > 0, ten_L[t_safe], qpos[qadr])
+        velocity = gear * jnp.where(is_ten > 0, ten_V[t_safe], qvel[dadr])
+    else:
+        length = gear * qpos[qadr]
+        velocity = gear * qvel[dadr]
+
+    is_motor = jnp.asarray((kind == 0).astype(np.float32))
+    is_pos = jnp.asarray((kind == 1).astype(np.float32))
+    is_vel = jnp.asarray((kind == 2).astype(np.float32))
+    is_gen = jnp.asarray((kind == 3).astype(np.float32))
+    b = model.actuator_biasprm
     force = (
         is_motor * c
-        + is_pos * g * (c - qpos[qadr] * gear)   # length = gear * qpos
-        + is_vel * g * (c - qvel[dadr] * gear)
+        + is_pos * g * (c - length)
+        + is_vel * g * (c - velocity)
+        + is_gen * (g * c + b[:, 0] + b[:, 1] * length + b[:, 2] * velocity)
     )
     force = jnp.where(
         model.actuator_forcelimited > 0,
         jnp.clip(force, model.actuator_forcerange[:, 0], model.actuator_forcerange[:, 1]),
         force,
     )
+    # scatter into dofs: joint actuators direct, tendon actuators through
+    # the constant moment rows (J^T f)
+    if np.any(tids >= 0):
+        jmask = jnp.asarray((jids >= 0).astype(np.float32))
+        qfrc = qfrc.at[dadr].add(jmask * gear * force)
+        moment = jnp.asarray((tids[:, None] >= 0).astype(np.float32)) * model.ten_J[t_safe]
+        qfrc = qfrc + (gear * force) @ moment
+        return qfrc
     return qfrc.at[dadr].add(gear * force)
 
 
@@ -124,7 +153,14 @@ def _total_smooth_force(model, state, ctrl, kin, bias, M):
     # smooth approximation of dry friction loss (MuJoCo handles this in the
     # constraint solver; tanh regularization keeps it jit-friendly)
     qfrc_fric = -model.dof_frictionloss * jnp.tanh(state.qvel / 0.005)
-    return qfrc_act + qfrc_spring + qfrc_limit + qfrc_fric - bias, extra_damp
+    total = qfrc_act + qfrc_spring + qfrc_limit + qfrc_fric - bias
+    if model.ntendon:
+        qfrc_ten, ten_damp = dynamics.tendon_forces(
+            model, state.qpos, state.qvel, Mdiag=jnp.diagonal(M)
+        )
+        total = total + qfrc_ten
+        extra_damp = extra_damp + ten_damp
+    return total, extra_damp
 
 
 def forward_products(model, state: State):

@@ -23,6 +23,14 @@ def equality_row_count(model) -> int:
     )
 
 
+def _poly(coef, d):
+    return coef[0] + d * (coef[1] + d * (coef[2] + d * (coef[3] + d * coef[4])))
+
+
+def _dpoly(coef, d):
+    return coef[1] + d * (2 * coef[2] + d * (3 * coef[3] + d * 4 * coef[4]))
+
+
 def equality_rows(model, kin, qpos, qvel):
     """-> (J_eq (ne, nv), aref_eq (ne,), reg_scale (ne,)) or None.
 
@@ -58,6 +66,23 @@ def equality_rows(model, kin, qpos, qvel):
                 for r in range(3):
                     J_rows.append(Jang[r])
                     aref_rows.append(-b * ang_vel[r] - k * (-ang_err[r]))
+        elif kind == "tendon":
+            # tendon1 length coupled to poly(tendon2 length) (MuJoCo
+            # mjEQ_TENDON: with no tendon2 the length is pinned to
+            # polycoef[0]) — the robotiq/jaco coupled-finger pattern
+            t1, t2 = model.eq_obj1[i], model.eq_obj2[i]
+            coef = model.eq_polycoef[i]
+            L1 = model.ten_Jq[t1] @ qpos
+            row = model.ten_J[t1]
+            if t2 >= 0:
+                d = model.ten_Jq[t2] @ qpos - model.ten_length0[t2]
+                row = row - _dpoly(coef, d) * model.ten_J[t2]
+                err = (L1 - model.ten_length0[t1]) - _poly(coef, d)
+            else:
+                err = L1 - coef[0]
+            vel = row @ qvel
+            J_rows.append(row)
+            aref_rows.append(-b * vel - k * err)
         else:  # joint coupling
             j1, j2 = model.eq_obj1[i], model.eq_obj2[i]
             a1, d1 = model.jnt_qposadr[j1], model.jnt_dofadr[j1]

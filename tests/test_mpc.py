@@ -159,3 +159,31 @@ def test_mppi_divergence_masking():
     assert np.all(np.isfinite(np.asarray(action)))
     assert np.all(np.isfinite(np.asarray(planner2.mean)))
     assert int(metrics["n_masked"]) > 0
+
+
+def test_ilqr_fd_linearization_matches_jacfwd():
+    """Finite-difference fx/fu (ILQRConfig.use_fd — the compile-friendly
+    path for contact dynamics) must solve the pendulum swing-up as well as
+    the autodiff linearization."""
+    dt = 0.05
+
+    def dynamics(x, u):
+        th, om = x
+        om2 = om + dt * (u[0] * 2.0 - 9.81 * jnp.sin(th) - 0.1 * om)
+        return jnp.array([th + dt * om2, om2])
+
+    def cost(x, u, t):
+        return 0.1 * jnp.sum(u**2) + (jnp.cos(x[0]) + 1.0) ** 2 + 0.01 * x[1] ** 2
+
+    def terminal(x):
+        return 10.0 * ((jnp.cos(x[0]) + 1.0) ** 2 + 0.1 * x[1] ** 2)
+
+    x0 = jnp.array([0.1, 0.0])
+    us0 = jnp.zeros((40, 1))
+    cfg_ad = ilqr.ILQRConfig(horizon=40, n_iterations=15)
+    cfg_fd = ilqr.ILQRConfig(horizon=40, n_iterations=15, use_fd=True, fd_eps=1e-4)
+    sol_ad = jax.jit(lambda x, u: ilqr.solve(cfg_ad, dynamics, cost, terminal, x, u))(x0, us0)
+    sol_fd = jax.jit(lambda x, u: ilqr.solve(cfg_fd, dynamics, cost, terminal, x, u))(x0, us0)
+    assert float(sol_fd.cost) <= float(sol_ad.cost) * 1.10 + 1e-3, (
+        float(sol_fd.cost), float(sol_ad.cost),
+    )

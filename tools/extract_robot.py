@@ -96,15 +96,25 @@ def spec_to_card(ms: S.ModelSpec):
                 "ctrlrange": _clean(a.ctrlrange) if a.ctrlrange is not None else None,
                 "forcerange": _clean(a.forcerange) if a.forcerange is not None else None,
                 "kp": _clean(a.kp), "kv": _clean(a.kv),
+                "tendon": a.tendon, "gainprm": _clean(a.gainprm), "biasprm": _clean(a.biasprm),
             }
             for a in ms.actuators
         ],
         "excludes": [[e.body1, e.body2] for e in ms.excludes],
         "equalities": [
             {"kind": e.kind, "body1": e.body1, "body2": e.body2, "joint1": e.joint1,
-             "joint2": e.joint2, "anchor": _clean(e.anchor), "polycoef": _clean(e.polycoef),
+             "joint2": e.joint2, "tendon1": e.tendon1, "tendon2": e.tendon2,
+             "anchor": _clean(e.anchor), "polycoef": _clean(e.polycoef),
              "solref": _clean(e.solref)}
             for e in ms.equalities
+        ],
+        "tendons": [
+            {"name": t.name, "joints": list(t.joints), "coefs": _clean(np.asarray(t.coefs)),
+             "range": _clean(t.range) if t.range is not None else None,
+             "limited": bool(t.limited), "stiffness": _clean(t.stiffness),
+             "springlength": _clean(t.springlength) if t.springlength is not None else None,
+             "frictionloss": _clean(t.frictionloss), "damping": _clean(t.damping)}
+            for t in ms.tendons
         ],
     }
 

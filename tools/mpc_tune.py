@@ -3,8 +3,11 @@ and report cube height / success. Usage:
     python tools/mpc_tune.py [K] [H] [sigma] [temp] [n_ilqr] [ticks] [batch] [knots]
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 import jax.numpy as jnp
