@@ -105,8 +105,14 @@ def load_composite_controller_config(
                 cfg = dict(cfg)
                 t = cfg.pop("type")
                 cfg.pop("gripper", None)
-                cfg.pop("interpolation", None)
-                cfg.pop("ramp_ratio", None)
+                if not t.upper().startswith("OSC"):
+                    # goal interpolation is wired for the OSC family
+                    # (utils/traj_utils.py analog lives in OSCConfig)
+                    cfg.pop("interpolation", None)
+                    cfg.pop("ramp_ratio", None)
+                if cfg.get("interpolation", "linear") is None:
+                    cfg.pop("interpolation", None)
+                    cfg.pop("ramp_ratio", None)
                 cfg.pop("position_limits", None)
                 cfg.pop("orientation_limits", None)
                 for k in ("output_max", "output_min", "kp_limits", "damping_ratio_limits"):

@@ -45,6 +45,19 @@ class OSCConfig:
     input_type: str = "delta"
     input_ref_frame: str = "base"
     uncouple_pos_ori: bool = True
+    # goal interpolation (reference utils/traj_utils.py:25-141 wired via
+    # controller_factory.py:118-133): "linear" ramps the goal from the
+    # previous goal over the first ramp_ratio fraction of the control period
+    interpolation: Optional[str] = None   # None | "linear"
+    ramp_ratio: float = 0.2
+    controller_freq: float = 500.0
+
+    @property
+    def interp_steps(self) -> int:
+        """Substeps over which the goal ramps (traj_utils.py:63-66)."""
+        import math
+
+        return max(int(math.ceil(self.ramp_ratio * self.controller_freq / self.policy_freq)), 1)
 
     @property
     def base_dim(self) -> int:
@@ -80,6 +93,10 @@ class OSCState:
     goal_ori: Any   # (3,3) in controller ref frame
     kp: Any         # (6,)
     kd: Any         # (6,)
+    # interpolation start pose: the previous goal, captured at set_goal time
+    # (traj_utils.py:101-117); equal to goal when interpolation is off
+    start_pos: Any = None
+    start_ori: Any = None
 
 
 def _world_to_origin_frame(view: ArmView, vec):
@@ -104,7 +121,7 @@ def init_state(cfg: OSCConfig, view: ArmView) -> OSCState:
         pos, ori = _eef_pose_in_origin(view)
     else:
         pos, ori = view.ref_pos, view.ref_ori_mat
-    return OSCState(goal_pos=pos, goal_ori=ori, kp=kp, kd=kd)
+    return OSCState(goal_pos=pos, goal_ori=ori, kp=kp, kd=kd, start_pos=pos, start_ori=ori)
 
 
 def set_goal(cfg: OSCConfig, state: OSCState, view: ArmView, action, goal_update_mode: str = "achieved",
@@ -163,18 +180,40 @@ def set_goal(cfg: OSCConfig, state: OSCState, view: ArmView, action, goal_update
             else:
                 goal_ori = view.ref_ori_mat
 
-    return OSCState(goal_pos=goal_pos, goal_ori=goal_ori, kp=kp, kd=kd)
+    return OSCState(
+        goal_pos=goal_pos, goal_ori=goal_ori, kp=kp, kd=kd,
+        start_pos=state.goal_pos, start_ori=state.goal_ori,
+    )
 
 
-def run(cfg: OSCConfig, state: OSCState, view: ArmView):
-    """reference osc.py:403-495 run_controller — returns joint torques."""
+def _interpolated_goal(cfg: OSCConfig, state: OSCState, substep):
+    """Linear-in-position, slerp-in-orientation goal ramp at substep index
+    `substep` of the current control period (traj_utils.py:119-141)."""
+    frac = jnp.minimum((substep + 1.0) / cfg.interp_steps, 1.0)
+    pos = state.start_pos + (state.goal_pos - state.start_pos) * frac
+    q0 = T.mat2quat(state.start_ori)
+    q1 = T.mat2quat(state.goal_ori)
+    ori = T.quat2mat(T.quat_slerp(q0, q1, frac))
+    return pos, ori
+
+
+def run(cfg: OSCConfig, state: OSCState, view: ArmView, substep=None):
+    """reference osc.py:403-495 run_controller — returns joint torques.
+
+    `substep`: index within the control period; drives the goal
+    interpolator when cfg.interpolation == "linear" (the substep counter IS
+    the reference interpolator's step state, reset by every set_goal)."""
+    if cfg.interpolation == "linear" and substep is not None and state.start_pos is not None:
+        goal_pos, goal_ori = _interpolated_goal(cfg, state, substep)
+    else:
+        goal_pos, goal_ori = state.goal_pos, state.goal_ori
     # goal in world frame
     if cfg.input_ref_frame == "base":
-        desired_pos = view.origin_pos + view.origin_ori @ state.goal_pos
-        desired_ori = view.origin_ori @ state.goal_ori
+        desired_pos = view.origin_pos + view.origin_ori @ goal_pos
+        desired_ori = view.origin_ori @ goal_ori
     else:
-        desired_pos = state.goal_pos
-        desired_ori = state.goal_ori
+        desired_pos = goal_pos
+        desired_ori = goal_ori
 
     ori_error = T.orientation_error(desired_ori, view.ref_ori_mat)
     position_error = desired_pos - view.ref_pos

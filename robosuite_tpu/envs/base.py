@@ -157,6 +157,8 @@ class RobotEnv:
     def _refresh_jit(self):
         """(Re)create the jitted entry points — call after any change to
         self.model so the next trace captures the new constants."""
+        lo, hi = self.action_spec
+        self._action_clip = (jnp.asarray(lo), jnp.asarray(hi))
         self._reset_jit = jax.jit(self._reset_impl)
         self._step_jit = jax.jit(self._step_impl)
         for attr in ("_reset_batch_jit", "_step_batch_jit", "_rollout_jit"):
@@ -271,8 +273,14 @@ class RobotEnv:
 
     @property
     def action_spec(self):
-        low = -np.ones(self.action_dim, dtype=np.float32)
-        return low, -low
+        """Per-dim bounds (reference env_base action_spec): [-1, 1] except
+        variable-impedance dims, which carry kp/damping-ratio ranges."""
+        lows, highs = [], []
+        for r in self.robots:
+            lo, hi = r.action_limits
+            lows.append(lo)
+            highs.append(hi)
+        return np.concatenate(lows), np.concatenate(highs)
 
     # -- core functional API ---------------------------------------------------
     def _initial_qpos(self, rng):
@@ -351,7 +359,7 @@ class RobotEnv:
         return out
 
     def _step_impl(self, state: EnvState, action, model=None):
-        action = jnp.clip(action, -1.0, 1.0)
+        action = jnp.clip(action, *self._action_clip)
         model = self.model if model is None else model
         physics = state.physics
 
@@ -366,16 +374,16 @@ class RobotEnv:
         ]
         packed = self._pack_ctrl(ctrl_states)
 
-        def substep(phys, _):
+        def substep(phys, k):
             kin, M, bias = engine.forward_products(model, phys)
             ctrl = jnp.zeros(model.nu, dtype=phys.qpos.dtype)
             for r, cs in zip(self.robots, ctrl_states):
-                ctrl = r.run_controllers(kin, M, bias, phys.qpos, phys.qvel, cs, ctrl)
+                ctrl = r.run_controllers(kin, M, bias, phys.qpos, phys.qvel, cs, ctrl, substep=k)
             return engine.integrate(model, phys, ctrl, kin, M, bias), ()
 
         # cold-start contact solve per substep: threading the warm start
         # through the carry measured slower on v5e (see engine.step_n note)
-        physics, _ = jax.lax.scan(substep, physics, None, length=self.n_substeps)
+        physics, _ = jax.lax.scan(substep, physics, jnp.arange(self.n_substeps))
 
         kin, _, _ = engine.forward_products(model, physics)
         obs = self._get_observations(physics, kin)
@@ -394,7 +402,7 @@ class RobotEnv:
         `model` / `n_substeps` let MPC planners roll a coarse-timestep
         planning model (mpc/receding.py): e.g. model.replace(timestep=0.01)
         with n_substeps=5 still covers one 50 ms control period."""
-        action = jnp.clip(action, -1.0, 1.0)
+        action = jnp.clip(action, *self._action_clip)
         model = self.model if model is None else model
         n_substeps = self.n_substeps if n_substeps is None else n_substeps
         physics = state.physics
@@ -407,14 +415,14 @@ class RobotEnv:
         ]
         packed = self._pack_ctrl(ctrl_states)
 
-        def substep(phys, _):
+        def substep(phys, k):
             kin, M, bias = engine.forward_products(model, phys)
             ctrl = jnp.zeros(model.nu, dtype=phys.qpos.dtype)
             for r, cs in zip(self.robots, ctrl_states):
-                ctrl = r.run_controllers(kin, M, bias, phys.qpos, phys.qvel, cs, ctrl)
+                ctrl = r.run_controllers(kin, M, bias, phys.qpos, phys.qvel, cs, ctrl, substep=k)
             return engine.integrate(model, phys, ctrl, kin, M, bias), ()
 
-        physics, _ = jax.lax.scan(substep, physics, None, length=n_substeps)
+        physics, _ = jax.lax.scan(substep, physics, jnp.arange(n_substeps))
         kin, _, _ = engine.forward_products(model, physics)
         reward = self.reward(None, physics, kin)
         new_state = EnvState(physics=physics, ctrl=packed, t=state.t + 1, rng=state.rng)

@@ -180,6 +180,28 @@ class FixedBaseRobot:
             i += gd
         return out
 
+    @property
+    def action_limits(self):
+        """Per-dim action bounds (reference controller control_limits,
+        osc.py:190-211): variable-impedance dims carry their damping/kp
+        ranges; everything else is [-1, 1]."""
+        low = -np.ones(self.action_dim, dtype=np.float32)
+        high = np.ones(self.action_dim, dtype=np.float32)
+        idx = self.action_split_indexes()
+        for arm in self.arms:
+            cfg = self.arm_cfg[arm]
+            if isinstance(cfg, osc_mod.OSCConfig) and cfg.impedance_mode != "fixed":
+                s, _ = idx[arm]
+                if cfg.impedance_mode == "variable":
+                    low[s : s + 6] = cfg.damping_ratio_limits[0]
+                    high[s : s + 6] = cfg.damping_ratio_limits[1]
+                    low[s + 6 : s + 12] = cfg.kp_limits[0]
+                    high[s + 6 : s + 12] = cfg.kp_limits[1]
+                else:  # variable_kp
+                    low[s : s + 6] = cfg.kp_limits[0]
+                    high[s : s + 6] = cfg.kp_limits[1]
+        return low, high
+
     def split_action(self, action):
         """-> dict arm -> (arm_action, gripper_action)."""
         idx = self.action_split_indexes()
@@ -282,9 +304,12 @@ class FixedBaseRobot:
             new = jnp.where(mask, jnp.asarray(np.nan_to_num(fixed), dtype=dtype), new)
         return new
 
-    def run_controllers(self, kin, M, bias, qpos, qvel, ctrl_state: RobotCtrlState, ctrl):
+    def run_controllers(self, kin, M, bias, qpos, qvel, ctrl_state: RobotCtrlState, ctrl, substep=None):
         """Substep-rate torque computation; writes into the full (nu,) ctrl
-        vector (reference fixed_base_robot.py:149-153)."""
+        vector (reference fixed_base_robot.py:149-153).
+
+        `substep`: index within the control period, consumed by goal-
+        interpolating controllers (OSC with interpolation="linear")."""
         for arm in self.arms:
             view = self.arm_view(kin, M, bias, qpos, qvel, arm)
             cfg = self.arm_cfg[arm]
@@ -292,6 +317,8 @@ class FixedBaseRobot:
             if mod is jv_mod:
                 lo, hi = self.torque_limits[arm]
                 tau, _ = mod.run(cfg, ctrl_state.arm[arm], view, jnp.asarray(lo), jnp.asarray(hi))
+            elif mod is osc_mod:
+                tau = mod.run(cfg, ctrl_state.arm[arm], view, substep=substep)
             else:
                 tau = mod.run(cfg, ctrl_state.arm[arm], view)
             lo, hi = self.torque_limits[arm]
@@ -456,8 +483,8 @@ class MobileRobot(FixedBaseRobot):
             )
         return RobotCtrlState(arm=new, gripper_action=new_grip)
 
-    def run_controllers(self, kin, M, bias, qpos, qvel, ctrl_state: RobotCtrlState, ctrl):
-        ctrl = super().run_controllers(kin, M, bias, qpos, qvel, ctrl_state, ctrl)
+    def run_controllers(self, kin, M, bias, qpos, qvel, ctrl_state: RobotCtrlState, ctrl, substep=None):
+        ctrl = super().run_controllers(kin, M, bias, qpos, qvel, ctrl_state, ctrl, substep=substep)
         rng = np.asarray(self.model.actuator_ctrlrange)
         for part in ("torso", "head", "legs"):
             if part in self.part_cfg:

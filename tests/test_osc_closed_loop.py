@@ -47,3 +47,63 @@ def test_gripper_action_closes_fingers(lift_env):
     # panda fingers: q[0] decreases toward 0, q[1] increases toward 0
     assert closed_q[0] < open_q[0] - 0.005, (open_q, closed_q)
     assert closed_q[1] > open_q[1] + 0.005, (open_q, closed_q)
+
+
+def test_variable_impedance_kp_changes_tracking():
+    """Mirror of reference tests/test_controllers/test_variable_impedance.py:
+    under variable_kp OSC, a stiff (high-kp) action tracks a commanded delta
+    much more tightly in one control period than a soft (low-kp) one."""
+    env = robosuite_tpu.make(
+        "Lift", robots="Panda",
+        controller_configs={"right": {"type": "OSC_POSE", "impedance_mode": "variable_kp"}},
+    )
+    # action layout: [kp(6), delta(6), gripper(1)]
+    assert env.action_dim == 13
+
+    def displacement(kp_cmd):
+        state, obs = env.reset(jax.random.PRNGKey(0))
+        start = np.asarray(obs["robot0_eef_pos"])
+        a = np.zeros(env.action_dim, dtype=np.float32)
+        a[:6] = kp_cmd
+        a[6] = 1.0  # +x delta (5 cm at full scale)
+        state, obs, r, d, i = env.step(state, jnp.asarray(a))
+        return float(np.asarray(obs["robot0_eef_pos"])[0] - start[0])
+
+    soft = displacement(10.0)
+    stiff = displacement(300.0)
+    assert stiff > soft * 5.0, (soft, stiff)
+    assert stiff > 0.005, stiff
+
+
+def test_linear_interpolator_ramps_goal():
+    """Mirror of reference tests/test_controllers/test_linear_interpolator.py:
+    with interpolation="linear" the commanded step is reached gradually —
+    the first-substep goal is closer to the start, so the initial torque
+    spike shrinks, while the end-of-period pose still converges."""
+    from robosuite_tpu.controllers.parts import osc as osc_mod
+
+    cfg = osc_mod.OSCConfig(interpolation="linear", ramp_ratio=0.2)
+    assert cfg.interp_steps == 5
+
+    env_interp = robosuite_tpu.make(
+        "Lift", robots="Panda",
+        controller_configs={"right": {"type": "OSC_POSE", "interpolation": "linear"}},
+    )
+    env_plain = robosuite_tpu.make("Lift", robots="Panda")
+
+    def run(env, n):
+        state, obs = env.reset(jax.random.PRNGKey(0))
+        a = np.zeros(env.action_dim, dtype=np.float32)
+        a[0] = 1.0
+        traj = []
+        for _ in range(n):
+            state, obs, r, d, i = env.step(state, jnp.asarray(a))
+            traj.append(float(np.asarray(obs["robot0_eef_pos"])[0]))
+        return np.array(traj)
+
+    t_plain = run(env_plain, 6)
+    t_interp = run(env_interp, 6)
+    # both converge to the same commanded motion over several periods
+    assert abs(t_plain[-1] - t_interp[-1]) < 0.02, (t_plain, t_interp)
+    # the interpolated controller lags the step command within the first period
+    assert t_interp[0] <= t_plain[0] + 1e-4, (t_interp[0], t_plain[0])

@@ -1,6 +1,6 @@
 """MPC tuning driver: run a full receding-horizon Lift episode under one jit
 and report cube height / success. Usage:
-    python tools/mpc_tune.py [K] [H] [sigma] [temp] [n_ilqr] [ticks] [batch] [knots]
+    python tools/mpc_tune.py [K] [H] [sigma] [temp] [n_ilqr] [ticks] [batch] [knots] [plan_dt]
 """
 
 import os
@@ -28,6 +28,7 @@ def main():
     ticks = int(a[5]) if len(a) > 5 else 40
     B = int(a[6]) if len(a) > 6 else 4
     knots = int(a[7]) if len(a) > 7 else 8
+    plan_dt = float(a[8]) if len(a) > 8 else 0.01
 
     env = robosuite_tpu.make(
         "Lift", robots="Panda", cube_size=[0.021, 0.021, 0.021], reward_shaping=True
@@ -35,6 +36,7 @@ def main():
     cfg = receding.MPCConfig(
         horizon=H, n_samples=K, noise_sigma=sigma, temperature=temp,
         n_ilqr_iters=n_ilqr, ilqr_line_search=4, n_knots=knots,
+        plan_timestep=plan_dt,
     )
     mpc = receding.RecedingMPC(env, cfg)
     solve = mpc.make_solve()
@@ -67,7 +69,7 @@ def main():
     jax.block_until_ready(success)
     t_run = time.time() - t0
 
-    print(f"cfg K={K} H={H} sigma={sigma} temp={temp} ilqr={n_ilqr} ticks={ticks} B={B} knots={knots}")
+    print(f"cfg K={K} H={H} sigma={sigma} temp={temp} ilqr={n_ilqr} ticks={ticks} B={B} knots={knots} plan_dt={plan_dt}")
     print(f"success: {success.tolist()}  ({float(jnp.mean(success))*100:.0f}%)")
     print(f"final cube_z per seed: {[round(float(z),3) for z in cube_z[:, -1]]}  (table {env.table_top_z}, need > {env.table_top_z+0.04})")
     print(f"max cube_z per seed:   {[round(float(z),3) for z in jnp.max(cube_z, axis=1)]}")
