@@ -1,12 +1,19 @@
-"""Benchmark: batched Panda-Lift stepping / MPC throughput on TPU.
+"""Benchmark: Panda-Lift MPC solves/s + batched env stepping on TPU.
 
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
 
-Metric: batched Lift env policy-steps/s (each policy step = 25 physics
-substeps with the OSC_POSE law fused in, vmapped over scenarios on one chip).
-Baseline: the reference robosuite single-env CPU stepping rate measured on
-this machine (tools/bench_reference.py; see REF_CPU_STEPS_PER_S below) —
-the only throughput the reference stack can offer (no batching, SURVEY §2.9).
+Headline metric: receding-horizon Panda-Lift MPC solves/s at H=64 on one
+chip — the BASELINE.json north-star workload (target 4096 solves/s on
+v5e-8 = 512 solves/s/chip; vs_baseline is the fraction of the per-chip
+target). One solve = one 20 Hz control tick: K=32 MPPI rollouts of 64
+planned steps on a 25 ms planning model (spline-knot correlated sampling),
+then the chosen action executed at full fidelity (mpc/receding.py).
+
+Extra fields: batched env policy-steps/s at B=512 (each = 25 physics
+substeps with the OSC_POSE law fused in; actions are small random deltas so
+the goal-update path is exercised) and its multiple of the measured
+single-env reference CPU rate (67.4 steps/s, tools/bench_reference.py —
+the only throughput the reference stack offers; it cannot batch).
 """
 
 from __future__ import annotations
@@ -20,27 +27,29 @@ import numpy as np
 # measured on this machine via tools/bench_reference.py (67.4 steps/s)
 REF_CPU_STEPS_PER_S = 67.4
 
+# BASELINE.json: >= 4096 solves/s on v5e-8 -> per-chip share
+MPC_TARGET_PER_CHIP = 4096 / 8
+
 BATCH = 512
 N_STEPS = 15
 
+MPC_BATCH = 128
+MPC_TICKS = 10
 
-def main():
+
+def bench_env_steps(env):
     import jax
     import jax.numpy as jnp
-
-    import robosuite_tpu
-
-    env = robosuite_tpu.make(
-        "Lift", robots="Panda", cube_size=[0.021, 0.021, 0.021], reward_shaping=True
-    )
 
     rngs = jax.random.split(jax.random.PRNGKey(0), BATCH)
     states, _ = env.reset_batch(rngs)
 
     step = jax.jit(jax.vmap(env._rollout_impl))
-    actions = jnp.zeros((BATCH, env.action_dim), dtype=jnp.float32)
+    # small random deltas: exercises goal updates instead of a frozen target
+    actions = 0.1 * jax.random.normal(
+        jax.random.PRNGKey(1), (BATCH, env.action_dim), dtype=jnp.float32
+    )
 
-    # warmup/compile
     s, r = step(states, actions)
     jax.block_until_ready(r)
 
@@ -49,15 +58,72 @@ def main():
         s, r = step(s, actions)
     jax.block_until_ready(r)
     dt = time.perf_counter() - t0
+    return BATCH * N_STEPS / dt
 
-    steps_per_s = BATCH * N_STEPS / dt
+
+def bench_mpc_solves(env):
+    import jax
+    import jax.numpy as jnp
+
+    from robosuite_tpu.mpc import receding
+
+    cfg = receding.MPCConfig(
+        horizon=64, n_samples=32, noise_sigma=0.4, temperature=0.2,
+        n_knots=8, n_ilqr_iters=0, plan_timestep=0.025,
+    )
+    mpc = receding.RecedingMPC(env, cfg)
+    solve = mpc.make_solve()
+
+    def tick(states, mss):
+        def one(state, ms):
+            action, ms2, _ = solve(state, ms)
+            state2, reward = env._rollout_impl(state, action)
+            return state2, ms2, reward
+
+        return jax.vmap(one)(states, mss)
+
+    tick = jax.jit(tick)
+
+    rngs = jax.random.split(jax.random.PRNGKey(2), MPC_BATCH)
+    states, _ = env.reset_batch(rngs)
+    ms0 = receding.init_state(cfg, env.action_dim, jax.random.PRNGKey(3))
+    mss = jax.tree.map(
+        lambda x: jnp.broadcast_to(x[None], (MPC_BATCH,) + x.shape), ms0
+    )
+    states, mss, r = tick(states, mss)  # compile + warmup
+    jax.block_until_ready(r)
+
+    t0 = time.perf_counter()
+    for _ in range(MPC_TICKS):
+        states, mss, r = tick(states, mss)
+    jax.block_until_ready(r)
+    dt = time.perf_counter() - t0
+    return MPC_BATCH * MPC_TICKS / dt
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+
+    import robosuite_tpu
+
+    env = robosuite_tpu.make(
+        "Lift", robots="Panda", cube_size=[0.021, 0.021, 0.021], reward_shaping=True
+    )
+
+    steps_per_s = bench_env_steps(env)
+    solves_per_s = bench_mpc_solves(env)
+
     print(
         json.dumps(
             {
-                "metric": "lift_panda_env_steps_per_s",
-                "value": round(steps_per_s, 1),
-                "unit": "policy_steps/s (batch=%d, 25 substeps each)" % BATCH,
-                "vs_baseline": round(steps_per_s / REF_CPU_STEPS_PER_S, 2),
+                "metric": "lift_panda_mpc_solves_per_s",
+                "value": round(solves_per_s, 1),
+                "unit": "MPC solves/s (H=64, K=32, 1 chip; target 512/chip)",
+                "vs_baseline": round(solves_per_s / MPC_TARGET_PER_CHIP, 3),
+                "env_steps_per_s": round(steps_per_s, 1),
+                "env_steps_vs_ref_cpu": round(steps_per_s / REF_CPU_STEPS_PER_S, 2),
             }
         )
     )

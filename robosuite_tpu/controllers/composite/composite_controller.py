@@ -11,9 +11,12 @@ embodies this flow; this module provides the explicit spec object users can
 inspect/construct — the analog of REGISTERED_COMPOSITE_CONTROLLERS_DICT —
 plus the action-split bookkeeping as data.
 
-WHOLE_BODY_IK (reference :514-589) maps onto per-arm IK_POSE part
-controllers for fixed-base single/dual-arm robots (the composite IK policy
-reduces to per-arm differential IK when only arms are actuated).
+WHOLE_BODY_IK (reference :514-589) is the true joint solve over
+torso+arms: robosuite_tpu.controllers.composite.wbik implements the damped
+least-squares differential IK with nullspace posture weights; the runtime
+robot layer dispatches to it when controller_config["type"] ==
+"WHOLE_BODY_IK" (robots/robot.py _set_goals_wbik). The per-arm IK_POSE
+reduction remains available for fixed-base arms via make_composite.
 
 HYBRID_MOBILE_BASE (reference :234-291) appends a trailing base-mode switch
 dim to the action vector; at runtime (robosuite_tpu.robots.MobileRobot) the

@@ -118,6 +118,13 @@ def load_composite_controller_config(
                 for k in ("output_max", "output_min", "kp_limits", "damping_ratio_limits"):
                     if k in cfg and isinstance(cfg[k], list):
                         cfg[k] = tuple(cfg[k])
+                # drop reference-JSON keys with no analog in the config
+                # dataclass (kd/kv/velocity_limits on JOINT_POSITION, ...)
+                import dataclasses as _dc
+
+                probe = arm_controller_config(t)
+                fields = {f.name for f in _dc.fields(probe)}
+                cfg = {k: v for k, v in cfg.items() if k in fields}
                 out[arm] = arm_controller_config(t, **cfg)
             return out
         # {arm: config}

@@ -13,7 +13,7 @@ import numpy as np
 
 from robosuite_tpu.envs.base import RobotEnv, register_env
 from robosuite_tpu.models.arenas import BinsArena
-from robosuite_tpu.models.objects.primitive_substitutes import (
+from robosuite_tpu.models.objects.hull_objects import (
     BreadObject,
     CanObject,
     CerealObject,

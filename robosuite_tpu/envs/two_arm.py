@@ -24,11 +24,26 @@ from robosuite_tpu.utils import transforms as T
 from robosuite_tpu.utils.placement import PlacementSpec, sample_placements
 
 
+def _normalize_two_arm(robots, env_configuration):
+    """reference two_arm_env.py:29-55: one (bimanual) robot auto-selects the
+    "single-robot" configuration; two robots accept opposed/parallel."""
+    robots = [robots] if isinstance(robots, str) else list(robots)
+    if len(robots) == 1:
+        return robots, "single-robot"
+    if env_configuration in ("default", None):
+        env_configuration = "opposed"
+    assert env_configuration in ("opposed", "parallel"), env_configuration
+    return robots, env_configuration
+
+
 def _place_two_robots(robot_models, env_configuration, table_length):
-    """reference two_arm_lift.py:308-326."""
+    """reference two_arm_lift.py:302-326 (incl. the single-robot branch)."""
     import math
 
-    if env_configuration == "opposed":
+    if env_configuration == "single-robot":
+        rm = robot_models[0]
+        rm.set_base_xpos(np.array(rm.base_xpos_offset["table"](table_length)))
+    elif env_configuration == "opposed":
         for rm, rotation in zip(robot_models, (np.pi / 2, -np.pi / 2)):
             xpos = np.array(rm.base_xpos_offset["table"](table_length))
             c, s = math.cos(rotation), math.sin(rotation)
@@ -39,6 +54,23 @@ def _place_two_robots(robot_models, env_configuration, table_length):
         for rm, offset in zip(robot_models, (-0.25, 0.25)):
             xpos = np.array(rm.base_xpos_offset["table"](table_length)) + np.array((0, offset, 0))
             rm.set_base_xpos(xpos)
+
+
+def _two_eef_sites(robots):
+    """The two manipulation endpoints: (right, left) arms of one bimanual
+    robot, or the right arm of each of two robots (two_arm_env.py:98-140
+    _eef0/_eef1 semantics)."""
+    return [r.eef_site_id[arm] for _, r, arm in _two_arm_pairs(robots)]
+
+
+def _two_arm_pairs(items):
+    """[(robot_index, item, arm)] for the two manipulation endpoints:
+    single-robot -> [(0, r, "right"), (0, r, "left")]; two robots ->
+    [(i, r_i, "right")] (reference two_arm_env.py gripper0/gripper1)."""
+    items = list(items)
+    if len(items) == 1:
+        return [(0, items[0], "right"), (0, items[0], "left")]
+    return [(i, r, "right") for i, r in enumerate(items)]
 
 
 @register_env
@@ -53,11 +85,11 @@ class TwoArmLift(RobotEnv):
         reward_shaping=False,
         **kwargs,
     ):
-        self.env_configuration = env_configuration
+        robots, self.env_configuration = _normalize_two_arm(robots, env_configuration)
         self.table_full_size = np.array(table_full_size)
         self.table_friction = table_friction
         self.table_offset = np.array((0, 0, 0.8))
-        super().__init__(robots=list(robots), reward_scale=reward_scale, reward_shaping=reward_shaping, **kwargs)
+        super().__init__(robots=robots, reward_scale=reward_scale, reward_shaping=reward_shaping, **kwargs)
 
     def _load_model(self):
         _place_two_robots(self.robot_models, self.env_configuration, self.table_full_size[0])
@@ -77,9 +109,10 @@ class TwoArmLift(RobotEnv):
             m.site_name2id(self.pot.important_sites["handle0"]),
             m.site_name2id(self.pot.important_sites["handle1"]),
         ]
-        self.eef_sites = [r.eef_site_id["right"] for r in self.robots]
+        self.eef_sites = _two_eef_sites(self.robots)
         self._grasp_rows = [
-            self.grasp_rows(i, "right", self.pot.handle_geoms[i]) for i in range(2)
+            self.grasp_rows(i, arm, self.pot.handle_geoms[k])
+            for k, (i, _, arm) in enumerate(_two_arm_pairs(self.robots))
         ]
         self._placements = [
             PlacementSpec(
@@ -128,15 +161,15 @@ class TwoArmLift(RobotEnv):
 
     def _get_observations(self, physics, kin):
         obs = {}
-        for i, robot in enumerate(self.robots):
-            qp = physics.qpos[jnp.asarray(robot.arm_qpos_idx["right"])]
-            obs[f"robot{i}_joint_pos"] = qp
-            obs[f"robot{i}_joint_pos_cos"] = jnp.cos(qp)
-            obs[f"robot{i}_joint_pos_sin"] = jnp.sin(qp)
-            obs[f"robot{i}_joint_vel"] = physics.qvel[jnp.asarray(robot.arm_qvel_idx["right"])]
-            obs[f"robot{i}_eef_pos"] = kin.site_xpos[self.eef_sites[i]]
-            obs[f"robot{i}_eef_quat"] = T.convert_quat(T.mat2quat_wxyz(kin.site_xmat[self.eef_sites[i]]), to="xyzw")
-            obs[f"robot{i}_gripper_qpos"] = physics.qpos[jnp.asarray(robot.gripper_joint_qpos_idx["right"])]
+        for k, (i, robot, arm) in enumerate(_two_arm_pairs(self.robots)):
+            qp = physics.qpos[jnp.asarray(robot.arm_qpos_idx[arm])]
+            obs[f"robot{k}_joint_pos"] = qp
+            obs[f"robot{k}_joint_pos_cos"] = jnp.cos(qp)
+            obs[f"robot{k}_joint_pos_sin"] = jnp.sin(qp)
+            obs[f"robot{k}_joint_vel"] = physics.qvel[jnp.asarray(robot.arm_qvel_idx[arm])]
+            obs[f"robot{k}_eef_pos"] = kin.site_xpos[self.eef_sites[k]]
+            obs[f"robot{k}_eef_quat"] = T.convert_quat(T.mat2quat_wxyz(kin.site_xmat[self.eef_sites[k]]), to="xyzw")
+            obs[f"robot{k}_gripper_qpos"] = physics.qpos[jnp.asarray(robot.gripper_joint_qpos_idx[arm])]
         obs["pot_pos"] = kin.xpos[self.pot_body_id]
         obs["pot_quat"] = T.convert_quat(kin.xquat[self.pot_body_id], to="xyzw")
         obs["handle0_xpos"] = kin.site_xpos[self.handle_site_ids[0]]
@@ -161,21 +194,25 @@ class TwoArmPegInHole(RobotEnv):
         reward_shaping=False,
         **kwargs,
     ):
-        self.env_configuration = env_configuration
+        robots, self.env_configuration = _normalize_two_arm(robots, env_configuration)
         self.peg_radius = peg_radius
         self.peg_length = peg_length
-        super().__init__(robots=list(robots), reward_scale=reward_scale, reward_shaping=reward_shaping, **kwargs)
+        super().__init__(robots=robots, reward_scale=reward_scale, reward_shaping=reward_shaping, **kwargs)
 
     def _load_model(self):
         # no grippers: replace defaults with NullGripper (reference :262-270)
         from robosuite_tpu.models.grippers import gripper_factory
 
-        for i, rm in enumerate(self.robot_models):
-            eef_body = rm.root_subtree().find_body(rm.eef_name["right"])
-            eef_body.children = [c for c in eef_body.children if not c.name.startswith(f"gripper{i}_")]
-            rm._actuators = [a for a in rm._actuators if not a.name.startswith(f"gripper{i}_")]
-            rm.grippers.clear()
-            rm.add_gripper(gripper_factory("NullGripper", idn=i, arm="right"), "right")
+        seen = set()
+        for i, rm, arm in _two_arm_pairs(self.robot_models):
+            eef_body = rm.root_subtree().find_body(rm.eef_name[arm])
+            pref = f"gripper{i}_{arm}_"
+            eef_body.children = [c for c in eef_body.children if not c.name.startswith(pref)]
+            rm._actuators = [a for a in rm._actuators if not a.name.startswith(pref)]
+            if id(rm) not in seen:
+                rm.grippers.clear()
+                seen.add(id(rm))
+            rm.add_gripper(gripper_factory("NullGripper", idn=i, arm=arm), arm)
 
         _place_two_robots(self.robot_models, self.env_configuration, 0.8)
         arena = EmptyArena()
@@ -186,7 +223,9 @@ class TwoArmPegInHole(RobotEnv):
             S.GeomSpec("peg_g0", type="cylinder", size=(self.peg_radius[0], self.peg_length), density=500)
         )
         peg.add_site(S.SiteSpec("peg_center", pos=(0, 0, 0), size=(0.005,)))
-        eef0 = self.robot_models[0].root_subtree().find_body(self.robot_models[0].eef_name["right"])
+        pairs = _two_arm_pairs(self.robot_models)
+        rm0, arm0 = pairs[0][1], pairs[0][2]
+        eef0 = rm0.root_subtree().find_body(rm0.eef_name[arm0])
         eef0.children.append(peg)
 
         from robosuite_tpu.models.objects.xml_objects import PlateWithHoleObject
@@ -195,7 +234,8 @@ class TwoArmPegInHole(RobotEnv):
         plate_root = self.plate.get_obj()
         plate_root.pos = np.array([0, 0, 0.05])
         plate_root.quat = np.array([0.7071068, 0, 0.7071068, 0])
-        eef1 = self.robot_models[1].root_subtree().find_body(self.robot_models[1].eef_name["right"])
+        rm1, arm1 = pairs[1][1], pairs[1][2]
+        eef1 = rm1.root_subtree().find_body(rm1.eef_name[arm1])
         eef1.children.append(plate_root)
 
         self.task = ManipulationTask(arena, self.robot_models, None)
@@ -204,7 +244,7 @@ class TwoArmPegInHole(RobotEnv):
         m = self.model
         self.peg_body_id = m.body_name2id("peg")
         self.plate_body_id = m.body_name2id(self.plate.root_body)
-        self.eef_sites = [r.eef_site_id["right"] for r in self.robots]
+        self.eef_sites = _two_eef_sites(self.robots)
 
     def _peg_alignment(self, kin):
         """(t, d, cos) hole-frame alignment terms
@@ -272,11 +312,11 @@ class TwoArmHandover(RobotEnv):
         reward_shaping=False,
         **kwargs,
     ):
-        self.env_configuration = env_configuration
+        robots, self.env_configuration = _normalize_two_arm(robots, env_configuration)
         self.table_full_size = np.array(table_full_size)
         self.table_offset = np.array((0, 0, 0.8))
         self.height_threshold = 0.1
-        super().__init__(robots=list(robots), reward_scale=reward_scale, reward_shaping=reward_shaping, **kwargs)
+        super().__init__(robots=robots, reward_scale=reward_scale, reward_shaping=reward_shaping, **kwargs)
 
     def _load_model(self):
         _place_two_robots(self.robot_models, self.env_configuration, self.table_full_size[0])
@@ -287,9 +327,10 @@ class TwoArmHandover(RobotEnv):
     def _setup_references(self):
         m = self.model
         self.hammer_body_id = m.body_name2id(self.hammer.root_body)
-        self.eef_sites = [r.eef_site_id["right"] for r in self.robots]
-        self._grasp0 = self.grasp_rows(0, "right", self.hammer.handle_geoms)
-        self._grasp1 = self.grasp_rows(1, "right", self.hammer.handle_geoms)
+        self.eef_sites = _two_eef_sites(self.robots)
+        pairs = _two_arm_pairs(self.robots)
+        self._grasp0 = self.grasp_rows(pairs[0][0], pairs[0][2], self.hammer.handle_geoms)
+        self._grasp1 = self.grasp_rows(pairs[1][0], pairs[1][2], self.hammer.handle_geoms)
         self._placements = [
             PlacementSpec(
                 name="hammer",
@@ -337,9 +378,9 @@ class TwoArmHandover(RobotEnv):
 
     def _get_observations(self, physics, kin):
         obs = {}
-        for i, robot in enumerate(self.robots):
-            obs[f"robot{i}_joint_pos"] = physics.qpos[jnp.asarray(robot.arm_qpos_idx["right"])]
-            obs[f"robot{i}_eef_pos"] = kin.site_xpos[self.eef_sites[i]]
+        for k, (i, robot, arm) in enumerate(_two_arm_pairs(self.robots)):
+            obs[f"robot{k}_joint_pos"] = physics.qpos[jnp.asarray(robot.arm_qpos_idx[arm])]
+            obs[f"robot{k}_eef_pos"] = kin.site_xpos[self.eef_sites[k]]
         obs["hammer_pos"] = kin.xpos[self.hammer_body_id]
         obs["hammer_quat"] = T.convert_quat(kin.xquat[self.hammer_body_id], to="xyzw")
         return obs

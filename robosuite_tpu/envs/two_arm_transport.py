@@ -20,7 +20,7 @@ from robosuite_tpu.models.objects import BoxObject, CompositeBoxObject
 from robosuite_tpu.models.objects.composite_objects import HammerObject
 from robosuite_tpu.models.tasks import ManipulationTask
 from robosuite_tpu.utils import transforms as T
-from robosuite_tpu.envs.two_arm import _place_two_robots
+from robosuite_tpu.envs.two_arm import _normalize_two_arm, _place_two_robots, _two_arm_pairs, _two_eef_sites
 
 
 class OpenBin(CompositeBoxObject):
@@ -61,11 +61,11 @@ class TwoArmTransport(RobotEnv):
         reward_shaping=False,
         **kwargs,
     ):
-        self.env_configuration = env_configuration
+        robots, self.env_configuration = _normalize_two_arm(robots, env_configuration)
         self.tables_full_size = np.array(tables_full_size)
         self.table_offsets = np.array([[-0.35, 0, 0.8], [0.35, 0, 0.8]])
         self.height_threshold = 0.1
-        super().__init__(robots=list(robots), reward_scale=reward_scale, reward_shaping=reward_shaping, **kwargs)
+        super().__init__(robots=robots, reward_scale=reward_scale, reward_shaping=reward_shaping, **kwargs)
 
     def _load_model(self):
         _place_two_robots(self.robot_models, self.env_configuration, 1.4)
@@ -100,8 +100,11 @@ class TwoArmTransport(RobotEnv):
         self.payload_body = m.body_name2id(self.payload.root_body)
         self.trash_body = m.body_name2id(self.trash.root_body)
         self.lid_body = m.body_name2id(self.lid.root_body)
-        self.eef_sites = [r.eef_site_id["right"] for r in self.robots]
-        self._payload_grasp = [self.grasp_rows(i, "right", self.payload.handle_geoms) for i in range(2)]
+        self.eef_sites = _two_eef_sites(self.robots)
+        self._payload_grasp = [
+            self.grasp_rows(i, arm, self.payload.handle_geoms)
+            for i, _, arm in _two_arm_pairs(self.robots)
+        ]
         t0, t1 = self.table_offsets[0], self.table_offsets[1]
         self.start_bin_pos = t0 + np.array([0.0, -0.15, 0.06])
         self.trash_bin_pos = t0 + np.array([0.0, 0.15, 0.06])
@@ -170,11 +173,11 @@ class TwoArmTransport(RobotEnv):
 
     def _get_observations(self, physics, kin):
         obs = {}
-        for i, robot in enumerate(self.robots):
-            obs[f"robot{i}_joint_pos"] = physics.qpos[jnp.asarray(robot.arm_qpos_idx["right"])]
-            obs[f"robot{i}_eef_pos"] = kin.site_xpos[self.eef_sites[i]]
-            obs[f"robot{i}_eef_quat"] = T.convert_quat(
-                T.mat2quat_wxyz(kin.site_xmat[self.eef_sites[i]]), to="xyzw"
+        for k, (i, robot, arm) in enumerate(_two_arm_pairs(self.robots)):
+            obs[f"robot{k}_joint_pos"] = physics.qpos[jnp.asarray(robot.arm_qpos_idx[arm])]
+            obs[f"robot{k}_eef_pos"] = kin.site_xpos[self.eef_sites[k]]
+            obs[f"robot{k}_eef_quat"] = T.convert_quat(
+                T.mat2quat_wxyz(kin.site_xmat[self.eef_sites[k]]), to="xyzw"
             )
         obs["payload_pos"] = kin.xpos[self.payload_body]
         obs["trash_pos"] = kin.xpos[self.trash_body]

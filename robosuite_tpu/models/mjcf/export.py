@@ -35,6 +35,7 @@ def export_xml(ms: S.ModelSpec, exclude_visual=False) -> str:
     )
 
     wb = ET.SubElement(root, "worldbody")
+    used_meshes: set = set()
 
     def emit_body(parent_el, body: S.BodySpec, is_world=False):
         if is_world:
@@ -95,7 +96,12 @@ def export_xml(ms: S.ModelSpec, exclude_visual=False) -> str:
             sz = g.size
             ngeom_size = {"plane": 3, "sphere": 1, "capsule": 2, "cylinder": 2, "box": 3, "ellipsoid": 3}
             n = ngeom_size.get(g.type, 3)
-            if g.type == "plane":
+            if g.type == "mesh":
+                if g.mesh not in ms.meshes:
+                    continue  # visual-only mesh shell: skip in physics export
+                attrs["mesh"] = g.mesh
+                used_meshes.add(g.mesh)
+            elif g.type == "plane":
                 attrs["size"] = _fmt([max(sz[0], 1.0), max(sz[1], 1.0), max(sz[2], 0.1)])
             else:
                 attrs["size"] = _fmt(sz[:n])
@@ -122,6 +128,15 @@ def export_xml(ms: S.ModelSpec, exclude_visual=False) -> str:
             emit_body(el, child)
 
     emit_body(wb, ms.worldbody, is_world=True)
+
+    if used_meshes:
+        asset_el = ET.SubElement(root, "asset")
+        for mname in sorted(used_meshes):
+            verts = ms.meshes[mname]["verts"]
+            ET.SubElement(
+                asset_el, "mesh", name=mname,
+                vertex=" ".join(f"{float(v):.9g}" for row in verts for v in row),
+            )
 
     if ms.tendons:
         ten_el = ET.SubElement(root, "tendon")

@@ -71,6 +71,9 @@ class Model:
     ntendon: int = _static()
     tendon_names: Tuple[str, ...] = _static()
     tendon_limited: Tuple[int, ...] = _static()
+    nmesh: int = _static()
+    mesh_names: Tuple[str, ...] = _static()
+    geom_meshid: Tuple[int, ...] = _static()   # -1 = no hull (primitive/visual)
 
     body_names: Tuple[str, ...] = _static()
     jnt_names: Tuple[str, ...] = _static()
@@ -81,6 +84,10 @@ class Model:
 
     timestep: float = _static()
     impratio: float = _static()
+    # contact-solver iteration override (None -> contact.APGD_ITERS).
+    # Coarse planning models (mpc/receding.py) trade solver tightness for
+    # throughput: planning contacts don't need execution-grade convergence.
+    solver_iters: Optional[int] = _static(default=None)
 
     # ---- array parameters --------------------------------------------------
     body_pos: Any = None          # (nbody, 3)
@@ -134,6 +141,12 @@ class Model:
     ten_damping: Any = None       # (ntendon,)
     ten_length0: Any = None       # (ntendon,) length at qpos0
 
+    # convex hulls for mesh collision (padded to the model-wide max V/F;
+    # vertex padding repeats vertex 0, face padding is a far plane)
+    mesh_verts: Any = None        # (nmesh, V, 3) geom-frame hull vertices
+    mesh_fnorm: Any = None        # (nmesh, F, 3) outward face normals
+    mesh_fdist: Any = None        # (nmesh, F) face plane offsets (n·x <= d)
+
     eq_anchor: Any = None         # (neq, 3) body1-frame anchor (connect)
     eq_anchor2: Any = None        # (neq, 3) body2-frame anchor (compiled)
     eq_polycoef: Any = None       # (neq, 5)
@@ -185,9 +198,27 @@ class Model:
 # ---------------------------------------------------------------------------
 
 
-def _geom_mass_inertia(g: S.GeomSpec):
-    """Return (mass, COM-frame 3x3 inertia in geom frame) for a primitive."""
+def _geom_mass_inertia(g: S.GeomSpec, meshes=None):
+    """Return (mass, COM-frame 3x3 inertia in geom frame, COM offset in geom
+    frame) for a primitive or hull-backed mesh geom."""
+    m, I = _geom_mass_inertia_primitive(g, meshes)
+    if S.GEOM_TYPES[g.type] == S.MESH and meshes and g.mesh in meshes:
+        h = meshes[g.mesh]
+        return m, I, np.asarray(h["com"], dtype=np.float64)
+    return m, I, np.zeros(3)
+
+
+def _geom_mass_inertia_primitive(g: S.GeomSpec, meshes=None):
     t = S.GEOM_TYPES[g.type]
+    if t == S.MESH and meshes and g.mesh in meshes:
+        # exact hull mass properties (tools/extract_meshes.py divergence-
+        # theorem moments; MuJoCo mesh-inertia semantics)
+        h = meshes[g.mesh]
+        vol = float(h["volume"])
+        m = g.mass if g.mass is not None else g.density * vol
+        I_unit = np.asarray(h["inertia"], dtype=np.float64)  # unit density
+        scale = (m / vol) if vol > 0 else 0.0
+        return m, I_unit * scale
     sz = g.size
     if t == S.SPHERE:
         r = sz[0]
@@ -275,11 +306,11 @@ def _eig_principal(I):
     return w.copy(), v
 
 
-def _body_inertial(body: S.BodySpec, inertia_group_range=(0, 0)):
+def _body_inertial(body: S.BodySpec, inertia_group_range=(0, 0), meshes=None):
     """Compute (mass, ipos, iquat, principal diag inertia) for a body.
 
     Uses the explicit InertialSpec if present, else accumulates over the
-    body's primitive geoms (MuJoCo compiler behavior with
+    body's primitive/hull geoms (MuJoCo compiler behavior with
     inertiagrouprange as in reference base.xml:3).
     """
     if body.inertial is not None:
@@ -300,22 +331,23 @@ def _body_inertial(body: S.BodySpec, inertia_group_range=(0, 0)):
     for g in body.geoms:
         if not (inertia_group_range[0] <= g.group <= inertia_group_range[1]):
             continue
-        m, I_g = _geom_mass_inertia(g)
+        m, I_g, com_off = _geom_mass_inertia(g, meshes)
         if m <= 0:
             continue
-        contributing.append((g, m, I_g))
+        g_com = g.pos + _quat2mat_np(g.quat) @ com_off
+        contributing.append((g, m, I_g, g_com))
         total_m += m
-        com += m * g.pos
+        com += m * g_com
     if total_m <= 0:
         # MuJoCo convention for massless (welded) bodies: ipos mirrors the
         # body's own frame offset (observed from compiled reference models)
         return 0.0, np.asarray(body.pos, dtype=np.float64).copy(), np.array([1.0, 0, 0, 0]), np.zeros(3)
     com /= total_m
     I_total = np.zeros((3, 3))
-    for g, m, I_g in contributing:
+    for g, m, I_g, g_com in contributing:
         R = _quat2mat_np(g.quat)
         I_rot = R @ I_g @ R.T
-        d = g.pos - com
+        d = g_com - com
         I_total += I_rot + m * (np.dot(d, d) * np.eye(3) - np.outer(d, d))
     w, v = _eig_principal(I_total)
     return total_m, com, _mat2quat_np(v), w
@@ -325,11 +357,14 @@ def _body_inertial(body: S.BodySpec, inertia_group_range=(0, 0)):
 # collision pair enumeration
 # ---------------------------------------------------------------------------
 
-# narrowphase support in round 1 (plane/sphere/capsule/box); meshes excluded
+# primitive narrowphase support; MESH collides iff hull-backed (its mesh
+# name has hull data from tools/extract_meshes.py) — bare mesh geoms are
+# visual-only (robot links keep their primitive collision shells)
 _COLLIDABLE = {S.PLANE, S.SPHERE, S.CAPSULE, S.CYLINDER, S.BOX}
 
 
-def _enumerate_pairs(bodies, geoms, geom_bodyid, body_parentid, body_weldid, excludes, body_name_to_id):
+def _enumerate_pairs(bodies, geoms, geom_bodyid, body_parentid, body_weldid, excludes,
+                     body_name_to_id, hullbacked=frozenset()):
     """MuJoCo-style broadphase-free static pair list.
 
     Filtering rules re-derived from MuJoCo's mj_collision:
@@ -354,17 +389,22 @@ def _enumerate_pairs(bodies, geoms, geom_bodyid, body_parentid, body_weldid, exc
         else:
             weld_parent[b] = weld_parent[body_weldid[b]]
 
+    def collidable(g, t):
+        if t == S.MESH:
+            return g.mesh in hullbacked
+        return t in _COLLIDABLE
+
     pairs = []
     ngeom = len(geoms)
     for i in range(ngeom):
         gi = geoms[i]
         ti = S.GEOM_TYPES[gi.type]
-        if ti not in _COLLIDABLE:
+        if not collidable(gi, ti):
             continue
         for j in range(i + 1, ngeom):
             gj = geoms[j]
             tj = S.GEOM_TYPES[gj.type]
-            if tj not in _COLLIDABLE:
+            if not collidable(gj, tj):
                 continue
             if ti == S.PLANE and tj == S.PLANE:
                 continue
@@ -463,7 +503,7 @@ def compile_spec(ms: S.ModelSpec, dtype=np.float32) -> Model:
     for i, b in enumerate(bodies):
         if i == 0:
             continue
-        m, ipos, iquat, diag = _body_inertial(b)
+        m, ipos, iquat, diag = _body_inertial(b, meshes=ms.meshes)
         body_mass[i] = m
         body_ipos[i] = ipos
         body_iquat[i] = iquat
@@ -576,8 +616,33 @@ def compile_spec(ms: S.ModelSpec, dtype=np.float32) -> Model:
         else:
             actuator_gainprm[a_i] = a.kp if a.kind == "position" else (a.kv if a.kind == "velocity" else 0.0)
 
+    # convex-hull meshes (collision-backed mesh geoms)
+    hull_names = sorted(ms.meshes)
+    mesh_id = {n: i for i, n in enumerate(hull_names)}
+    nmesh = len(hull_names)
+    V = max([len(ms.meshes[n]["verts"]) for n in hull_names], default=1)
+    F = max([len(ms.meshes[n]["face_dists"]) for n in hull_names], default=1)
+    mesh_verts = np.zeros((nmesh, V, 3))
+    mesh_fnorm = np.tile(np.array([0.0, 0.0, 1.0]), (nmesh, F, 1))
+    mesh_fdist = np.full((nmesh, F), 1e6)
+    for n, mi in mesh_id.items():
+        h = ms.meshes[n]
+        v = np.asarray(h["verts"], dtype=np.float64)
+        mesh_verts[mi, : len(v)] = v
+        mesh_verts[mi, len(v):] = v[0]  # pad by repetition (support-safe)
+        fn_ = np.asarray(h["face_normals"], dtype=np.float64)
+        fd_ = np.asarray(h["face_dists"], dtype=np.float64)
+        mesh_fnorm[mi, : len(fn_)] = fn_
+        mesh_fdist[mi, : len(fd_)] = fd_
+    geom_meshid = [
+        mesh_id.get(g.mesh, -1) if S.GEOM_TYPES[g.type] == S.MESH else -1 for g in geoms
+    ]
+
     # collision pairs
-    pairs = _enumerate_pairs(bodies, geoms, geom_bodyid, body_parentid, body_weldid, ms.excludes, body_id)
+    pairs = _enumerate_pairs(
+        bodies, geoms, geom_bodyid, body_parentid, body_weldid, ms.excludes, body_id,
+        hullbacked=set(mesh_id),
+    )
     npair = len(pairs)
     pair_friction = np.zeros((npair, 3))
     pair_solref = np.zeros((npair, 2))
@@ -680,6 +745,9 @@ def compile_spec(ms: S.ModelSpec, dtype=np.float32) -> Model:
         ntendon=ntendon,
         tendon_names=tuple(t.name for t in ms.tendons),
         tendon_limited=tuple(tendon_limited),
+        nmesh=nmesh,
+        mesh_names=tuple(hull_names),
+        geom_meshid=tuple(geom_meshid),
         pair_geom1=tuple(p[0] for p in pairs),
         pair_geom2=tuple(p[1] for p in pairs),
         neq=neq,
@@ -735,6 +803,9 @@ def compile_spec(ms: S.ModelSpec, dtype=np.float32) -> Model:
         ten_frictionloss=jnp_(ten_frictionloss),
         ten_damping=jnp_(ten_damping),
         ten_length0=jnp_(ten_length0),
+        mesh_verts=jnp_(mesh_verts),
+        mesh_fnorm=jnp_(mesh_fnorm),
+        mesh_fdist=jnp_(mesh_fdist),
         actuator_ctrllimited=jnp_(actuator_ctrllimited),
         actuator_forcelimited=jnp_(actuator_forcelimited),
         eq_anchor=jnp_(eq_anchor),

@@ -412,6 +412,12 @@ class ModelSpec:
         self.excludes: List[ExcludeSpec] = []
         self.equalities: List[EqualitySpec] = []
         self.tendons: List[TendonSpec] = []
+        # convex-hull collision data for mesh geoms, keyed by mesh name:
+        # {"verts": (V,3), "face_normals": (F,3), "face_dists": (F,),
+        #  "volume": float, "com": (3,), "inertia": (3,3)} (see
+        #  tools/extract_meshes.py). A mesh geom with no hull entry is
+        #  visual-only (robot link shells stay primitive).
+        self.meshes: Dict[str, dict] = {}
 
     # -- composition ---------------------------------------------------------
     def add_actuator(self, act: ActuatorSpec) -> ActuatorSpec:
@@ -445,6 +451,7 @@ class ModelSpec:
                     ten, name=prefix + ten.name, joints=[prefix + j for j in ten.joints]
                 )
             self.tendons.append(ten)
+        self.meshes.update(other.meshes)
         for ex in other.excludes:
             if prefix:
                 ex = ExcludeSpec(prefix + ex.body1, prefix + ex.body2)

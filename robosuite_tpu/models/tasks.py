@@ -86,6 +86,8 @@ class ManipulationTask:
 
         for obj in self.objects:
             ms.worldbody.children.append(obj.get_obj())
+            if hasattr(obj, "meshes"):
+                ms.meshes.update(obj.meshes())
 
         self.spec = ms
 

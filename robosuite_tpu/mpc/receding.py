@@ -60,6 +60,8 @@ class MPCConfig:
                                       # time at H=64; see ILQRConfig.use_fd)
     parallel_backward: bool = False   # associative-scan Riccati
     plan_timestep: float = 0.01       # planning-model integrator dt
+    plan_solver_iters: int = 10       # planning-model APGD iterations
+                                      # (execution keeps contact.APGD_ITERS)
     u_cost: float = 0.05              # control-effort residual weight
 
 
@@ -87,7 +89,9 @@ class RecedingMPC:
     def __init__(self, env, cfg: MPCConfig, residual: Optional[Callable] = None):
         self.env = env
         self.cfg = cfg
-        self.plan_model = env.model.replace(timestep=cfg.plan_timestep)
+        self.plan_model = env.model.replace(
+            timestep=cfg.plan_timestep, solver_iters=cfg.plan_solver_iters
+        )
         self.plan_substeps = max(1, int(round(1.0 / (env.control_freq * cfg.plan_timestep))))
         if residual is None:
             residual = lift_residual

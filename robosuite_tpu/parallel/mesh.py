@@ -70,6 +70,51 @@ def sharded_env_step(env, mesh: Mesh, axis: str = SCENARIO_AXIS, batcher=None):
     return jax.jit(_step)
 
 
+def sharded_mpc_tick(env, mppi_cfg, mesh: Mesh, plan_model=None, plan_substeps=None,
+                     axis: str = SCENARIO_AXIS, batcher=None):
+    """One receding-horizon MPC control tick for a sharded scenario batch:
+    MPPI solve on the (optionally coarse-timestep) planning model, then
+    execute the chosen action at full fidelity. The flagship multi-chip /
+    multi-host workload (BASELINE "Reporting points"); the mean return is
+    psum-reduced across the whole mesh (ICI within a host, DCN across).
+
+    Returns tick(states, planners) -> (states', planners', mean_return).
+    batcher="map" for CPU dryruns (XLA:CPU vmap compile pathology).
+    """
+    from robosuite_tpu.mpc import mppi as mppi_mod
+
+    if plan_model is not None:
+        def rollout_step(es, a):
+            return env._rollout_impl(es, a, model=plan_model, n_substeps=plan_substeps)
+    else:
+        rollout_step = env._rollout_impl
+
+    spec = P(axis)
+
+    def one(es, pl):
+        a, p2, _ = mppi_mod.mppi_update(mppi_cfg, rollout_step, es, pl)
+        es2, r = env._rollout_impl(es, a)
+        return es2, p2, r
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(spec, spec),
+        out_specs=(spec, spec, P()),
+        check_rep=False,
+    )
+    def _tick(states, planners):
+        if batcher == "map":
+            states2, planners2, rewards = jax.lax.map(lambda sp: one(*sp), (states, planners))
+        else:
+            states2, planners2, rewards = jax.vmap(one)(states, planners)
+        total = jax.lax.psum(jnp.sum(rewards), axis)
+        n = jax.lax.psum(jnp.asarray(rewards.shape[0], dtype=rewards.dtype), axis)
+        return states2, planners2, total / n
+
+    return jax.jit(_tick)
+
+
 def sharded_mppi_solver(env, mppi_cfg, mesh: Mesh, axis: str = SCENARIO_AXIS):
     """Batch of independent MPC solves, sharded over devices.
 

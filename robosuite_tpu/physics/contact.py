@@ -55,6 +55,13 @@ _PAIR_POINTS = {
     (S.CYLINDER, S.CYLINDER): 1,
     (S.CYLINDER, S.BOX): 2,
     (S.BOX, S.BOX): 16,
+    # convex hulls (mesh geoms with hull cards, tools/extract_meshes.py)
+    (S.PLANE, S.MESH): 4,
+    (S.SPHERE, S.MESH): 1,
+    (S.CAPSULE, S.MESH): 2,
+    (S.CYLINDER, S.MESH): 2,
+    (S.BOX, S.MESH): 12,
+    (S.MESH, S.MESH): 8,
 }
 
 
@@ -251,6 +258,122 @@ def _box_box(p1, R1, s1, p2, R2, s2):
     return d, pos, nrm
 
 
+# ---------------------------------------------------------------------------
+# convex-hull (mesh) narrowphase. Hull operand = (verts (V,3), face_normals
+# (F,3), face_dists (F,)) in the geom frame (padded; model.mesh_*). The
+# "maxplane" signed distance max_f(n_f·p - d_f) is exact for penetrating
+# points (the resting/grasping regime) and a smooth conservative
+# underestimate outside — the same trade _point_box_dist makes, with the
+# same softmax normal blending to avoid face-flip impulse spikes.
+# ---------------------------------------------------------------------------
+
+
+def _point_hull_dist(p_local, fnorm, fdist):
+    """Signed maxplane distance + blended outward normal (hull frame)."""
+    s = fnorm @ p_local - fdist  # (F,), <= 0 inside
+    d = jnp.max(s)
+    w = jax.nn.softmax(s / 2e-3)
+    n_raw = w @ fnorm
+    n = n_raw / jnp.maximum(jnp.linalg.norm(n_raw), 1e-9)
+    return d, n
+
+
+def _plane_hull(p1, R1, s1, p2, R2, h2):
+    verts, _, _ = h2
+    n = R1[:, 2]
+    vw = p2[None, :] + verts @ R2.T
+    d = (vw - p1[None, :]) @ n
+    _, idx = jax.lax.top_k(-d, 4)  # 4 deepest vertices
+    d4 = d[idx]
+    pos = vw[idx] - n[None, :] * 0.5 * d4[:, None]
+    return d4, pos, jnp.broadcast_to(n, (4, 3))
+
+
+def _sphere_hull(p1, R1, s1, p2, R2, h2):
+    _, fn_, fd_ = h2
+    pl = R2.T @ (p1 - p2)
+    d_surf, n_l = _point_hull_dist(pl, fn_, fd_)
+    n_w = -(R2 @ n_l)  # from sphere into hull
+    d = d_surf - s1[0]
+    pos = p1 + n_w * (s1[0] + 0.5 * d)
+    return d[None], pos[None], n_w[None]
+
+
+def _capsule_hull(p1, R1, s1, p2, R2, h2):
+    _, fn_, fd_ = h2
+    out_d, out_p, out_n = [], [], []
+    for sign in (-1.0, 1.0):
+        e = p1 + R1[:, 2] * (sign * s1[1])
+        pl = R2.T @ (e - p2)
+        d_surf, n_l = _point_hull_dist(pl, fn_, fd_)
+        n_w = -(R2 @ n_l)
+        d = d_surf - s1[0]
+        out_d.append(d)
+        out_p.append(e + n_w * (s1[0] + 0.5 * d))
+        out_n.append(n_w)
+    return jnp.stack(out_d), jnp.stack(out_p), jnp.stack(out_n)
+
+
+def _box_hull(p1, R1, s1, p2, R2, h2):
+    """Two-way vertex test: hull vertices vs box + box corners vs hull
+    faces (the _box_box pattern with maxplane standing in for the second
+    box's face set)."""
+    verts, fn_, fd_ = h2
+    # hull verts in box-local
+    vw = p2[None, :] + verts @ R2.T
+    vl = (vw - p1[None, :]) @ R1
+    d1, n1 = jax.vmap(_point_box_dist, in_axes=(0, None))(vl, s1)
+    nw1 = jnp.einsum("ij,nj->ni", R1, n1)  # from box into hull
+    _, idx = jax.lax.top_k(-d1, 4)
+    d1, nw1, vw1 = d1[idx], nw1[idx], vw[idx]
+    pos1 = vw1 - nw1 * 0.5 * d1[:, None]
+    # box corners vs hull faces
+    corners = jnp.array(
+        [[sx, sy, sz] for sx in (-1.0, 1.0) for sy in (-1.0, 1.0) for sz in (-1.0, 1.0)]
+    )
+    cw = p1[None, :] + (corners * s1[None, :]) @ R1.T
+    cl = (cw - p2[None, :]) @ R2
+    d2, n2 = jax.vmap(_point_hull_dist, in_axes=(0, None, None))(cl, fn_, fd_)
+    nw2 = -jnp.einsum("ij,nj->ni", R2, n2)  # from box into hull
+    pos2 = cw + nw2 * 0.5 * d2[:, None]
+    return (
+        jnp.concatenate([d1, d2]),
+        jnp.concatenate([pos1, pos2]),
+        jnp.concatenate([nw1, nw2]),
+    )
+
+
+def _hull_hull(p1, R1, h1, p2, R2, h2):
+    """Vertices of each hull against the other's face planes (4 deepest
+    per direction)."""
+    verts1, fn1, fd1 = h1
+    verts2, fn2, fd2 = h2
+
+    def verts_vs(pv, Rv, verts, pf, Rf, fn_, fd_, sign):
+        vw = pv[None, :] + verts @ Rv.T
+        vl = (vw - pf[None, :]) @ Rf
+        d, n = jax.vmap(_point_hull_dist, in_axes=(0, None, None))(vl, fn_, fd_)
+        nw = sign * jnp.einsum("ij,nj->ni", Rf, n)
+        _, idx = jax.lax.top_k(-d, 4)
+        d, nw, vwk = d[idx], nw[idx], vw[idx]
+        # contact midpoint: half the depth along the face hull's OUTWARD
+        # normal (= -sign * nw), mirroring _box_box's two directions
+        pos = vwk - sign * nw * 0.5 * d[:, None]
+        return d, pos, nw
+
+    # hull1's verts vs hull2's faces: outward normal of hull2 points toward
+    # hull1 -> contact normal (from geom1 into geom2) is its negation
+    d_a, p_a, n_a = verts_vs(p1, R1, verts1, p2, R2, fn2, fd2, -1.0)
+    # hull2's verts vs hull1's faces: outward normal of hull1 IS the
+    # from-1-into-2 direction
+    d_b, p_b, n_b = verts_vs(p2, R2, verts2, p1, R1, fn1, fd1, 1.0)
+    return (
+        jnp.concatenate([d_a, d_b]),
+        jnp.concatenate([p_a, p_b]),
+        jnp.concatenate([n_a, n_b]),
+    )
+
+
 _DISPATCH = {
     (S.PLANE, S.SPHERE): _plane_sphere,
     (S.PLANE, S.CAPSULE): _plane_capsule,
@@ -267,6 +390,13 @@ _DISPATCH = {
     (S.CAPSULE, S.CYLINDER): _capsule_capsule,
     (S.CYLINDER, S.CYLINDER): _capsule_capsule,
     (S.CYLINDER, S.BOX): _capsule_box,
+    # convex hulls (mesh geoms with hull cards)
+    (S.PLANE, S.MESH): _plane_hull,
+    (S.SPHERE, S.MESH): _sphere_hull,
+    (S.CAPSULE, S.MESH): _capsule_hull,
+    (S.CYLINDER, S.MESH): _capsule_hull,
+    (S.BOX, S.MESH): _box_hull,
+    (S.MESH, S.MESH): _hull_hull,
 }
 
 
@@ -299,9 +429,16 @@ def narrowphase(model, kin):
         fn = _DISPATCH[(t1, t2)]
         g1s = np.array([it[0] for it in items])
         g2s = np.array([it[1] for it in items])
+
+        def side_operand(gs, t):
+            if t == S.MESH:
+                mids = np.array([model.geom_meshid[g] for g in gs])
+                return (model.mesh_verts[mids], model.mesh_fnorm[mids], model.mesh_fdist[mids])
+            return jnp.asarray(model.geom_size)[gs]
+
         d, p, n = jax.vmap(fn)(
-            kin.geom_xpos[g1s], kin.geom_xmat[g1s], jnp.asarray(model.geom_size)[g1s],
-            kin.geom_xpos[g2s], kin.geom_xmat[g2s], jnp.asarray(model.geom_size)[g2s],
+            kin.geom_xpos[g1s], kin.geom_xmat[g1s], side_operand(g1s, t1),
+            kin.geom_xpos[g2s], kin.geom_xmat[g2s], side_operand(g2s, t2),
         )  # d: (P, npts), p/n: (P, npts, 3)
         flip_sign = np.array([-1.0 if it[3] else 1.0 for it in items], dtype=np.float32)
         n = n * flip_sign[:, None, None]
@@ -532,5 +669,6 @@ def constrained_vel_update(model, kin, con, M, qvel, qfrc_smooth, dt, eq=None, d
 
     from robosuite_tpu.ops.pallas_contact import make_vel_solver
 
-    solver = make_vel_solver(nv, ntot, nc, ne, APGD_ITERS, POWER_ITERS, float(dt))
+    iters = model.solver_iters if model.solver_iters is not None else APGD_ITERS
+    solver = make_vel_solver(nv, ntot, nc, ne, iters, POWER_ITERS, float(dt))
     return solver(M, Jf.T, aref, qfrc_smooth, qvel, damping, reg3, mu, active)

@@ -223,14 +223,39 @@ def render_camera(model, kin, camera_name, height=84, width=84, geom_groups=None
     ambient = visual.get("ambient", 0.35)
     diffuse = visual.get("diffuse", 0.65)
 
+    gid_arr = np.asarray(geom_ids, dtype=np.int32)
     all_rgb = visual.get("geom_rgb", jnp.asarray(model.geom_rgba)[:, :3])
-    colors = all_rgb[np.asarray(geom_ids, dtype=np.int32)]
+    colors = all_rgb[gid_arr]
+    # procedural textures (reference TextureModder checker/gradient/noise
+    # bitmaps, mjmod.py:213-330): evaluated analytically at the hit point in
+    # the geom's local frame instead of uv-mapped bitmaps
+    tex_mode = visual.get("tex_mode", None)          # (ngeom,) 0 flat|1 checker|2 gradient|3 noise
+    if tex_mode is not None:
+        tex_mode_g = jnp.asarray(tex_mode)[gid_arr]
+        tex_rgb2_g = jnp.asarray(visual.get("tex_rgb2", all_rgb))[gid_arr]
+        tex_scale_g = jnp.asarray(
+            visual.get("tex_scale", jnp.full((model.ngeom,), 0.08))
+        )[gid_arr]
+        xpos_g = kin.geom_xpos[gid_arr]
+        xmat_g = kin.geom_xmat[gid_arr]
 
     def pixel(d):
         t, n, gi = _trace_one(model, kin.geom_xpos, kin.geom_xmat, cam_pos, d, geom_ids)
         hit = t < _BIG * 0.5
         lam = jnp.clip(jnp.dot(n, -light_dir), 0.0, 1.0)
-        base = jnp.where(gi >= 0, colors[jnp.maximum(gi, 0)], jnp.ones(3) * 0.7)
+        gsafe = jnp.maximum(gi, 0)
+        base = jnp.where(gi >= 0, colors[gsafe], jnp.ones(3) * 0.7)
+        if tex_mode is not None:
+            p_hit = cam_pos + t * d
+            pl = xmat_g[gsafe].T @ (p_hit - xpos_g[gsafe]) / jnp.maximum(tex_scale_g[gsafe], 1e-4)
+            cell = jnp.floor(pl)
+            checker = jnp.mod(jnp.sum(cell), 2.0)
+            grad_t = jnp.clip(0.5 + 0.5 * pl[2], 0.0, 1.0)
+            h = jnp.sin(jnp.dot(cell, jnp.asarray([12.9898, 78.233, 37.719]))) * 43758.5453
+            noise = h - jnp.floor(h)
+            mode = tex_mode_g[gsafe]
+            w = jnp.where(mode == 1, checker, jnp.where(mode == 2, grad_t, jnp.where(mode == 3, noise, 0.0)))
+            base = base * (1.0 - w) + tex_rgb2_g[gsafe] * w
         col = base * (ambient + diffuse * lam)
         sky = jnp.asarray([0.7, 0.8, 0.9])
         rgb = jnp.where(hit, jnp.clip(col, 0.0, 1.0), sky)

@@ -109,6 +109,25 @@ class FixedBaseRobot:
         }
 
         # --- controllers ------------------------------------------------------
+        # WHOLE_BODY_IK composite (reference composite_controller.py:514-589):
+        # task-space targets for every end effector are solved JOINTLY into
+        # qpos targets over torso+arms (controllers/composite/wbik.py); the
+        # per-part controllers below then run JOINT_POSITION tracking.
+        self._wbik_spec = None
+        if isinstance(controller_config, dict) and controller_config.get("type") == "WHOLE_BODY_IK":
+            self._wbik_spec = dict(
+                controller_config.get("composite_controller_specific_configs", {})
+            )
+            if "body_parts" not in controller_config:
+                from robosuite_tpu.controllers.factory import arm_controller_config
+
+                controller_config = {
+                    arm: arm_controller_config(
+                        "JOINT_POSITION", dim=len(self.arm_joint_ids[arm]),
+                        kp=1000.0, input_type="absolute",
+                    )
+                    for arm in self.arms
+                }
         if controller_config is None or isinstance(controller_config, (str, dict)) and not (
             isinstance(controller_config, dict) and all(hasattr(v, "control_dim") for v in controller_config.values())
         ):
@@ -159,7 +178,7 @@ class FixedBaseRobot:
     def action_dim(self) -> int:
         d = 0
         for arm in self.arms:
-            d += self.arm_cfg[arm].control_dim
+            d += 6 if self._wbik_spec is not None else self.arm_cfg[arm].control_dim
             d += self.rm.grippers[arm].dof if arm in self.rm.grippers else 0
         return d
 
@@ -167,11 +186,12 @@ class FixedBaseRobot:
         """part name -> (start, end), reference composite layout: arm parts
         first (model order), then grippers last (composite_controller.py:86-95;
         verified against the live reference: Baxter = right, left,
-        right_gripper, left_gripper)."""
+        right_gripper, left_gripper). Under WHOLE_BODY_IK each arm slot is a
+        6-dim task-space target (ik_utils.py action_split_indexes)."""
         out = {}
         i = 0
         for arm in self.arms:
-            cd = self.arm_cfg[arm].control_dim
+            cd = 6 if self._wbik_spec is not None else self.arm_cfg[arm].control_dim
             out[arm] = (i, i + cd)
             i += cd
         for arm in self.arms:
@@ -188,6 +208,14 @@ class FixedBaseRobot:
         low = -np.ones(self.action_dim, dtype=np.float32)
         high = np.ones(self.action_dim, dtype=np.float32)
         idx = self.action_split_indexes()
+        if self._wbik_spec is not None:
+            # task-space pose targets (reference IKSolver control_limits are
+            # unbounded, ik_utils.py:77): allow full axis-angle / reach range
+            for arm in self.arms:
+                s, e = idx[arm]
+                low[s:e] = -3.2
+                high[s:e] = 3.2
+            return low, high
         for arm in self.arms:
             cfg = self.arm_cfg[arm]
             if isinstance(cfg, osc_mod.OSCConfig) and cfg.impedance_mode != "fixed":
@@ -259,8 +287,119 @@ class FixedBaseRobot:
             grip_actions[arm] = jnp.zeros(max(n_act, 1))
         return RobotCtrlState(arm=arm_states, gripper_action=grip_actions)
 
+    # -- WHOLE_BODY_IK (reference composite_controller.py:514-589) -------------
+    def _wbik_build(self):
+        """Resolve the whole-body IK problem structure once (host-side at
+        trace time): selected dofs = torso part (mobile robots) + all arms,
+        nullspace weights by joint name, torso clamp mask."""
+        if hasattr(self, "_wbik"):
+            return self._wbik
+        from robosuite_tpu.controllers.composite import wbik as wbik_mod
+
+        spec = self._wbik_spec
+        model = self.model
+        qpos_idx, qvel_idx, slices, torso_mask = [], [], {}, []
+        n = 0
+
+        def add_part(name, qp, qv, is_torso):
+            nonlocal n
+            qpos_idx.extend(qp)
+            qvel_idx.extend(qv)
+            slices[name] = slice(n, n + len(qp))
+            torso_mask.extend([1.0 if is_torso else 0.0] * len(qp))
+            n += len(qp)
+
+        if "torso" in getattr(self, "part_cfg", {}):
+            add_part("torso", list(self.part_qpos_idx["torso"]), list(self.part_qvel_idx["torso"]), True)
+        for arm in self.arms:
+            add_part(arm, list(self.arm_qpos_idx[arm]), list(self.arm_qvel_idx[arm]), False)
+
+        # nullspace weights by (suffix-matched) joint name, default 1.0
+        # (reference ik_utils.py get_nullspace_gains + default_gr1.json)
+        weights = spec.get("nullspace_joint_weights", {})
+        gains = []
+        for dof in qvel_idx:
+            jname = model.jnt_names[model.dof_jntid[dof]]
+            w = weights.get(jname)
+            if w is None:
+                for k, v in weights.items():
+                    if jname.endswith(k) or k.endswith(jname):
+                        w = v
+                        break
+            gains.append(float(w) if w is not None else 1.0)
+
+        cfg = wbik_mod.WBIKConfig(
+            damping=float(spec.get("ik_pseudo_inverse_damping", 5e-2)),
+            integration_dt=float(spec.get("ik_integration_dt", 0.1)),
+            max_dq=float(spec.get("ik_max_dq", spec.get("max_dq", 4.0))),
+            max_dq_torso=float(spec.get("ik_max_dq_torso", 0.2)),
+            nullspace_gains=tuple(gains),
+            torso_mask=tuple(torso_mask),
+            input_type=spec.get("ik_input_type", "absolute"),
+        )
+        self._wbik = dict(
+            cfg=cfg,
+            qpos_idx=np.asarray(qpos_idx, dtype=int),
+            qvel_idx=np.asarray(qvel_idx, dtype=int),
+            slices=slices,
+            q0=jnp.asarray(np.asarray(model.qpos0)[np.asarray(qpos_idx, dtype=int)]),
+        )
+        return self._wbik
+
+    def _set_goals_wbik(self, kin, M, bias, qpos, qvel, ctrl_state: RobotCtrlState, action) -> RobotCtrlState:
+        """WHOLE_BODY_IK policy-rate update: per-eef 6-dim targets -> one
+        differential-IK solve over torso+arms -> JOINT_POSITION goals."""
+        from robosuite_tpu.controllers.composite import wbik as wbik_mod
+        from robosuite_tpu.physics import kinematics
+        from robosuite_tpu.utils import transforms as T
+
+        w = self._wbik_build()
+        idx = self.action_split_indexes()
+
+        tpos, tmat, spos, smat, Js = [], [], [], [], []
+        for arm in self.arms:
+            s, e = idx[arm]
+            a = action[..., s:e]
+            view = self.arm_view(kin, M, bias, qpos, qvel, arm)
+            R_a = T.quat2mat(T.axisangle2quat(a[3:6]))
+            if w["cfg"].input_type == "absolute":
+                # targets expressed in the robot base frame
+                # (default_gr1.json ik_input_ref_frame "base")
+                p = view.origin_pos + view.origin_ori @ a[:3]
+                R = view.origin_ori @ R_a
+            else:  # delta about the current eef pose
+                p = view.ref_pos + a[:3]
+                R = R_a @ view.ref_ori_mat
+            tpos.append(p)
+            tmat.append(R)
+            spos.append(view.ref_pos)
+            smat.append(view.ref_ori_mat)
+            jacp, jacr = kinematics.site_jacobian(self.model, kin, self.eef_site_id[arm])
+            Js.append(jnp.concatenate([jacp[:, w["qvel_idx"]], jacr[:, w["qvel_idx"]]]))
+
+        q = qpos[w["qpos_idx"]]
+        q_des = wbik_mod.wbik_solve(
+            w["cfg"], jnp.concatenate(Js), q, w["q0"],
+            jnp.stack(spos), jnp.stack(smat), jnp.stack(tpos), jnp.stack(tmat),
+        )
+
+        new = dict(ctrl_state.arm)
+        new_grip = dict(ctrl_state.gripper_action)
+        for name, sl in w["slices"].items():
+            prev = ctrl_state.arm[name]
+            new[name] = jp_mod.JointPosState(goal_qpos=q_des[sl], kp=prev.kp, kd=prev.kd)
+        for arm in self.arms:
+            gs, ge = idx[f"{arm}_gripper"]
+            if arm in self.rm.grippers and self.rm.grippers[arm].dof > 0:
+                new_grip[arm] = self._gripper_goal(
+                    arm, ctrl_state.gripper_action[arm], action[..., gs:ge], qpos.dtype
+                )
+        return RobotCtrlState(arm=new, gripper_action=new_grip)
+
     def set_goals(self, kin, M, bias, qpos, qvel, ctrl_state: RobotCtrlState, action) -> RobotCtrlState:
         """Policy-rate goal update (reference composite set_goal path)."""
+        if self._wbik_spec is not None:
+            return self._set_goals_wbik(kin, M, bias, qpos, qvel, ctrl_state, action)
         split = self.split_action(action)
         new_arm = {}
         new_grip = {}
@@ -409,6 +548,10 @@ class MobileRobot(FixedBaseRobot):
     @property
     def action_dim(self) -> int:
         d = super().action_dim
+        if self._wbik_spec is not None:
+            # WBIK actuates torso/head/base parts through the IK solve —
+            # only eef targets + grippers appear in the action vector
+            return d
         for part in ("torso", "head", "base", "legs"):
             if part in self.part_cfg:
                 d += self.part_cfg[part].control_dim
@@ -417,6 +560,8 @@ class MobileRobot(FixedBaseRobot):
         return d
 
     def action_split_indexes(self):
+        if self._wbik_spec is not None:
+            return super().action_split_indexes()
         out = {}
         i = 0
         for arm in self.arms:
@@ -449,6 +594,8 @@ class MobileRobot(FixedBaseRobot):
         return RobotCtrlState(arm=parts, gripper_action=st.gripper_action)
 
     def set_goals(self, kin, M, bias, qpos, qvel, ctrl_state: RobotCtrlState, action) -> RobotCtrlState:
+        if self._wbik_spec is not None:
+            return self._set_goals_wbik(kin, M, bias, qpos, qvel, ctrl_state, action)
         idx = self.action_split_indexes()
         new = dict(ctrl_state.arm)
         new_grip = dict(ctrl_state.gripper_action)

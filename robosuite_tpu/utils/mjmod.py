@@ -25,11 +25,15 @@ import numpy as np
 
 @dataclasses.dataclass(frozen=True)
 class TextureRandomizationConfig:
-    """Per-geom color randomization (reference TextureModder rand_rgb /
-    rand_noise, mjmod.py:213-265 — rgba perturbation is the raycast
-    renderer's texture analog: primitives carry flat albedo, not bitmaps)."""
+    """Per-geom texture randomization (reference TextureModder
+    mjmod.py:213-330): base-color jitter plus per-geom procedural pattern
+    (flat / checker / gradient / noise) evaluated analytically by the
+    raycast renderer at the hit point (bitmap-free equivalents of
+    rand_checker / rand_gradient / rand_noise)."""
 
     rgb_jitter: float = 0.3          # uniform +- jitter per channel
+    patterns: bool = True            # sample checker/gradient/noise modes
+    scale_range: Tuple[float, float] = (0.04, 0.15)  # pattern cell size (m)
     randomize_skybox: bool = True    # kept for config parity (sky handled in renderer)
 
 
@@ -58,10 +62,18 @@ class TextureModder:
 
     def sample(self, rng):
         base = jnp.asarray(self.model.geom_rgba)[:, :3]
+        k1, k2, k3, k4 = jax.random.split(rng, 4)
         noise = jax.random.uniform(
-            rng, base.shape, minval=-self.config.rgb_jitter, maxval=self.config.rgb_jitter
+            k1, base.shape, minval=-self.config.rgb_jitter, maxval=self.config.rgb_jitter
         )
-        return {"geom_rgb": jnp.clip(base + noise, 0.0, 1.0)}
+        out = {"geom_rgb": jnp.clip(base + noise, 0.0, 1.0)}
+        if self.config.patterns:
+            n = base.shape[0]
+            out["tex_mode"] = jax.random.randint(k2, (n,), 0, 4)  # flat/checker/gradient/noise
+            out["tex_rgb2"] = jax.random.uniform(k3, (n, 3))
+            lo, hi = self.config.scale_range
+            out["tex_scale"] = jax.random.uniform(k4, (n,), minval=lo, maxval=hi)
+        return out
 
 
 class LightingModder:

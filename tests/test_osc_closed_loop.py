@@ -107,3 +107,26 @@ def test_linear_interpolator_ramps_goal():
     assert abs(t_plain[-1] - t_interp[-1]) < 0.02, (t_plain, t_interp)
     # the interpolated controller lags the step command within the first period
     assert t_interp[0] <= t_plain[0] + 1e-4, (t_interp[0], t_plain[0])
+
+
+def test_wipe_variable_impedance_config():
+    """BASELINE config #5: Wipe with variable-impedance OSC — the action
+    carries [damping_ratio(6), kp(6), delta(6)] and the env tracks per-step
+    impedance commands (reference test_variable_impedance.py wiring)."""
+    env = robosuite_tpu.make(
+        "Wipe", robots="Panda",
+        controller_configs={"right": {"type": "OSC_POSE", "impedance_mode": "variable"}},
+    )
+    # variable mode: 6 damping + 6 kp + 6 delta (no gripper on WipingGripper)
+    assert env.action_dim == 18, env.action_dim
+    lo, hi = env.action_spec
+    assert hi[6] > 100.0  # kp dims carry kp_limits, not [-1, 1]
+    state, obs = env.reset(jax.random.PRNGKey(0))
+    a = np.zeros(env.action_dim, dtype=np.float32)
+    a[:6] = 1.0     # damping ratio
+    a[6:12] = 150.0  # kp
+    a[14] = -0.5     # press down
+    for _ in range(3):
+        state, obs, r, d, i = env.step(state, jnp.asarray(a))
+    assert np.isfinite(np.asarray(state.physics.qpos)).all()
+    assert np.isfinite(float(r))
