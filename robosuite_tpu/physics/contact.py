@@ -519,6 +519,19 @@ def contact_warmstart_dim(model):
     return K * 3 + ne
 
 
+def solver_inputs(model, kin, con, M, qvel, qfrc_smooth, dt, eq=None, damping=None):
+    """Build the grouped-row cone-QP operands from the raw narrowphase buffer:
+    active-row compaction, contact Jacobians, solref/solimp dynamics.
+
+    Returns (M, JfT, aref, qfrc_smooth, qvel, damping, reg3, mu, active) —
+    exactly the Pallas vel-solver's argument tuple — plus (ntot, nc, ne)
+    static row counts. Split out of constrained_vel_update so profiling and
+    fused-kernel callers can address the row-assembly stage separately."""
+    if damping is None:
+        damping = model.dof_damping
+    return _solver_inputs_impl(model, kin, con, M, qvel, qfrc_smooth, dt, eq, damping)
+
+
 def constrained_vel_update(model, kin, con, M, qvel, qfrc_smooth, dt, eq=None, damping=None):
     """Full constrained velocity update for one substep:
     qacc_smooth solve + cone QP + implicit-damping integration, returning
@@ -559,6 +572,17 @@ def constrained_vel_update(model, kin, con, M, qvel, qfrc_smooth, dt, eq=None, d
         f = fastla.solve_spd(A + jnp.diag(reg), rhs)
         return vel_from_qfrc_con(J_eq.T @ f), f
 
+    args, (ntot, nc, ne) = _solver_inputs_impl(
+        model, kin, con, M, qvel, qfrc_smooth, dt, eq, damping
+    )
+    from robosuite_tpu.ops.pallas_contact import make_vel_solver
+
+    iters = model.solver_iters if model.solver_iters is not None else APGD_ITERS
+    solver = make_vel_solver(model.nv, ntot, nc, ne, iters, POWER_ITERS, float(dt))
+    return solver(*args)
+
+
+def _solver_inputs_impl(model, kin, con, M, qvel, qfrc_smooth, dt, eq, damping):
     nc_total = con["dist"].shape[0]
     nv = model.nv
 
@@ -667,8 +691,5 @@ def constrained_vel_update(model, kin, con, M, qvel, qfrc_smooth, dt, eq=None, d
     mu = friction[:, 0]
     ntot = nc * 3 + ne
 
-    from robosuite_tpu.ops.pallas_contact import make_vel_solver
-
-    iters = model.solver_iters if model.solver_iters is not None else APGD_ITERS
-    solver = make_vel_solver(nv, ntot, nc, ne, iters, POWER_ITERS, float(dt))
-    return solver(M, Jf.T, aref, qfrc_smooth, qvel, damping, reg3, mu, active)
+    args = (M, Jf.T, aref, qfrc_smooth, qvel, damping, reg3, mu, active)
+    return args, (ntot, nc, ne)
