@@ -197,32 +197,31 @@ def _interpolated_goal(cfg: OSCConfig, state: OSCState, substep):
     return pos, ori
 
 
-def run(cfg: OSCConfig, state: OSCState, view: ArmView, substep=None):
-    """reference osc.py:403-495 run_controller — returns joint torques.
-
-    `substep`: index within the control period; drives the goal
-    interpolator when cfg.interpolation == "linear" (the substep counter IS
-    the reference interpolator's step state, reset by every set_goal)."""
+def desired_world_pose(cfg: OSCConfig, state: OSCState, origin_pos, origin_ori, substep=None):
+    """The goal-resolution head of run(): (desired_pos, desired_ori) in the
+    WORLD frame, given the controller-frame origin pose. Split out so the
+    fused-substep path (ops/pallas_substep.py) can resolve goals at tick
+    rate in XLA and hand the kernel a world-frame target."""
     if cfg.interpolation == "linear" and substep is not None and state.start_pos is not None:
         goal_pos, goal_ori = _interpolated_goal(cfg, state, substep)
     else:
         goal_pos, goal_ori = state.goal_pos, state.goal_ori
-    # goal in world frame
     if cfg.input_ref_frame == "base":
-        desired_pos = view.origin_pos + view.origin_ori @ goal_pos
-        desired_ori = view.origin_ori @ goal_ori
-    else:
-        desired_pos = goal_pos
-        desired_ori = goal_ori
+        return origin_pos + origin_ori @ goal_pos, origin_ori @ goal_ori
+    return goal_pos, goal_ori
 
+
+def run_world(cfg: OSCConfig, view: ArmView, desired_pos, desired_ori, kp, kd):
+    """The torque law tail of run(): OSC torques for a WORLD-frame desired
+    pose (reference osc.py:437-495). Shared verbatim by run() and the
+    fused-substep XLA fallback."""
     ori_error = T.orientation_error(desired_ori, view.ref_ori_mat)
     position_error = desired_pos - view.ref_pos
-    # velocity errors measured relative to the base site (osc.py:455-470)
     vel_pos_error = -(view.ref_pos_vel - view.origin_pos_vel)
     vel_ori_error = -(view.ref_ori_vel - view.origin_ori_vel)
 
-    desired_force = position_error * state.kp[0:3] + vel_pos_error * state.kd[0:3]
-    desired_torque = ori_error * state.kp[3:6] + vel_ori_error * state.kd[3:6]
+    desired_force = position_error * kp[0:3] + vel_pos_error * kd[0:3]
+    desired_torque = ori_error * kp[3:6] + vel_ori_error * kd[3:6]
 
     J_full = view.J_full
     lambda_full, lambda_pos, lambda_ori, nullspace_matrix = C.opspace_matrices(
@@ -239,3 +238,15 @@ def run(cfg: OSCConfig, state: OSCState, view: ArmView, substep=None):
         view.mass_matrix, nullspace_matrix, view.initial_joint, view.joint_pos, view.joint_vel
     )
     return torques
+
+
+def run(cfg: OSCConfig, state: OSCState, view: ArmView, substep=None):
+    """reference osc.py:403-495 run_controller — returns joint torques.
+
+    `substep`: index within the control period; drives the goal
+    interpolator when cfg.interpolation == "linear" (the substep counter IS
+    the reference interpolator's step state, reset by every set_goal)."""
+    desired_pos, desired_ori = desired_world_pose(
+        cfg, state, view.origin_pos, view.origin_ori, substep
+    )
+    return run_world(cfg, view, desired_pos, desired_ori, state.kp, state.kd)

@@ -218,20 +218,15 @@ class RobotEnv:
     # -- contact queries (reference manipulation_env.py:331-376 _check_grasp,
     # base.py check_contact) ---------------------------------------------------
     def _pair_point_rows(self):
-        """Map candidate-pair index -> contact-buffer row indices (static)."""
-        from robosuite_tpu.physics.contact import pair_max_points
+        """Map candidate-pair index -> contact-buffer row indices (static).
+
+        Delegates to contact.contact_row_layout — the buffer is GROUP-major,
+        not pair-index-major (a naive in-order mapping silently queried the
+        wrong rows for every pair after the first type group)."""
+        from robosuite_tpu.physics.contact import contact_row_layout
 
         if not hasattr(self, "_pair_rows_cache"):
-            rows = {}
-            row = 0
-            for k in range(self.model.npair):
-                npts = pair_max_points(
-                    self.model.geom_type[self.model.pair_geom1[k]],
-                    self.model.geom_type[self.model.pair_geom2[k]],
-                )
-                rows[k] = list(range(row, row + npts))
-                row += npts
-            self._pair_rows_cache = rows
+            self._pair_rows_cache = contact_row_layout(self.model)
         return self._pair_rows_cache
 
     def _contact_rows(self, geoms_a, geoms_b):
@@ -246,14 +241,25 @@ class RobotEnv:
                 rows.extend(pr[k])
         return np.asarray(rows, dtype=np.int32)
 
+    def _rows_to_pairs(self, rows):
+        """Static map of contact-buffer rows back to their pair indices."""
+        layout = self._pair_point_rows()
+        want = set(int(r) for r in np.asarray(rows).tolist())
+        return sorted(k for k, rws in layout.items() if want & set(rws))
+
     def _any_contact(self, kin, rows):
-        """True if any of the given contact rows is touching."""
+        """True if any of the given contact rows is touching.
+
+        Runs narrowphase restricted to the rows' own pairs — contact queries
+        inside reward evaluations were re-running the FULL candidate buffer
+        per planned step, dominating MPC planning rollouts."""
         from robosuite_tpu.physics import contact as cmod
 
         if rows.size == 0:
             return jnp.asarray(False)
-        con = cmod.narrowphase(self.model, kin)
-        return jnp.any(con["dist"][jnp.asarray(rows)] < 0.0)
+        pairs = self._rows_to_pairs(rows)
+        con = cmod.narrowphase(self.model, kin, pairs=pairs)
+        return jnp.any(con["dist"] < 0.0)
 
     def check_grasp(self, kin, left_rows, right_rows):
         """Both fingerpads touching the object (manipulation_env.py:331-376)."""
@@ -358,6 +364,56 @@ class RobotEnv:
             i += r.action_dim
         return out
 
+    def _fused_for(self, model):
+        """Fused-substep megakernel for `model`, or None when unsupported.
+        Keyed by model identity (the cache holds the model ref so ids stay
+        valid); a DR-modified model gets its own build."""
+        if not hasattr(self, "_fused_cache"):
+            self._fused_cache = {}
+        key = id(model)
+        if key not in self._fused_cache:
+            from robosuite_tpu.ops.pallas_substep import UnsupportedFused, make_fused_substep
+
+            try:
+                fn = make_fused_substep(self, model)
+            except UnsupportedFused:
+                fn = None
+            self._fused_cache[key] = (model, fn)
+        return self._fused_cache[key][1]
+
+    def _fused_substep_fn(self, model, ctrl_states, kin):
+        """Substep closure using the fused megakernel, or None. Resolves the
+        tick-rate quantities (world-frame OSC goal, gripper actuator ctrl)
+        here; the kernel runs the substep-rate law."""
+        if getattr(self, "_disable_fused", False):
+            return None
+        fused = self._fused_for(model)
+        if fused is None:
+            return None
+        from robosuite_tpu.controllers.parts import osc as osc_mod
+
+        robot = self.robots[0]
+        armn = robot.arms[0]
+        cfg = robot.arm_cfg[armn]
+        ostate = ctrl_states[0].arm[armn]
+        op = kin.site_xpos[robot.center_site_id[armn]]
+        oR = kin.site_xmat[robot.center_site_id[armn]]
+        grip = robot.gripper_ctrl(armn, ctrl_states[0])
+        if grip is None:
+            grip = jnp.zeros(1, dtype=op.dtype)
+        dt = model.timestep
+
+        def substep(phys, k):
+            despos, desori = osc_mod.desired_world_pose(cfg, ostate, op, oR, k)
+            qpos2, qvel2, _f = fused(
+                phys.qpos, phys.qvel, model.body_mass, model.body_inertia,
+                model.gravity, model.dof_armature, despos, desori,
+                ostate.kp, ostate.kd, grip,
+            )
+            return phys.replace(qpos=qpos2, qvel=qvel2, time=phys.time + dt), ()
+
+        return substep
+
     def _step_impl(self, state: EnvState, action, model=None):
         action = jnp.clip(action, *self._action_clip)
         model = self.model if model is None else model
@@ -374,12 +430,14 @@ class RobotEnv:
         ]
         packed = self._pack_ctrl(ctrl_states)
 
-        def substep(phys, k):
-            kin, M, bias = engine.forward_products(model, phys)
-            ctrl = jnp.zeros(model.nu, dtype=phys.qpos.dtype)
-            for r, cs in zip(self.robots, ctrl_states):
-                ctrl = r.run_controllers(kin, M, bias, phys.qpos, phys.qvel, cs, ctrl, substep=k)
-            return engine.integrate(model, phys, ctrl, kin, M, bias), ()
+        substep = self._fused_substep_fn(model, ctrl_states, kin)
+        if substep is None:
+            def substep(phys, k):
+                kin, M, bias = engine.forward_products(model, phys)
+                ctrl = jnp.zeros(model.nu, dtype=phys.qpos.dtype)
+                for r, cs in zip(self.robots, ctrl_states):
+                    ctrl = r.run_controllers(kin, M, bias, phys.qpos, phys.qvel, cs, ctrl, substep=k)
+                return engine.integrate(model, phys, ctrl, kin, M, bias), ()
 
         # cold-start contact solve per substep: threading the warm start
         # through the carry measured slower on v5e (see engine.step_n note)
@@ -405,8 +463,20 @@ class RobotEnv:
         action = jnp.clip(action, *self._action_clip)
         model = self.model if model is None else model
         n_substeps = self.n_substeps if n_substeps is None else n_substeps
+        kin, M, bias = engine.forward_products(model, state.physics)
+        new_state, reward, _, _, _ = self._rollout_with_products(
+            state, action, model, n_substeps, kin, M, bias
+        )
+        return new_state, reward
+
+    def _rollout_with_products(self, state: EnvState, action, model, n_substeps, kin, M, bias):
+        """_rollout_impl body with the start-of-step forward products passed
+        in and the end-of-step products returned — lets MPC planning scans
+        carry (kin, M, bias) between consecutive planned steps, halving the
+        forward-kernel calls per planned step (the end products of step t
+        ARE the start products of step t+1)."""
+        action = jnp.clip(action, *self._action_clip)
         physics = state.physics
-        kin, M, bias = engine.forward_products(model, physics)
         ctrl_states = self._unpack_ctrl(state.ctrl)
         robot_actions = self._split_robot_actions(action)
         ctrl_states = [
@@ -415,18 +485,20 @@ class RobotEnv:
         ]
         packed = self._pack_ctrl(ctrl_states)
 
-        def substep(phys, k):
-            kin, M, bias = engine.forward_products(model, phys)
-            ctrl = jnp.zeros(model.nu, dtype=phys.qpos.dtype)
-            for r, cs in zip(self.robots, ctrl_states):
-                ctrl = r.run_controllers(kin, M, bias, phys.qpos, phys.qvel, cs, ctrl, substep=k)
-            return engine.integrate(model, phys, ctrl, kin, M, bias), ()
+        substep = self._fused_substep_fn(model, ctrl_states, kin)
+        if substep is None:
+            def substep(phys, k):
+                kin, M, bias = engine.forward_products(model, phys)
+                ctrl = jnp.zeros(model.nu, dtype=phys.qpos.dtype)
+                for r, cs in zip(self.robots, ctrl_states):
+                    ctrl = r.run_controllers(kin, M, bias, phys.qpos, phys.qvel, cs, ctrl, substep=k)
+                return engine.integrate(model, phys, ctrl, kin, M, bias), ()
 
         physics, _ = jax.lax.scan(substep, physics, jnp.arange(n_substeps))
-        kin, _, _ = engine.forward_products(model, physics)
-        reward = self.reward(None, physics, kin)
+        kin2, M2, bias2 = engine.forward_products(model, physics)
+        reward = self.reward(None, physics, kin2)
         new_state = EnvState(physics=physics, ctrl=packed, t=state.t + 1, rng=state.rng)
-        return new_state, reward
+        return new_state, reward, kin2, M2, bias2
 
     # -- public API ------------------------------------------------------------
     def reset(self, rng=None):

@@ -44,7 +44,8 @@ def init_state(cfg: MPPIConfig, act_dim: int, rng) -> MPPIState:
     return MPPIState(mean=jnp.zeros((cfg.horizon, act_dim)), rng=rng)
 
 
-def mppi_step(cfg: MPPIConfig, rollout_step: Callable, env_state, mean, rng):
+def mppi_step(cfg: MPPIConfig, rollout_step: Callable, env_state, mean, rng,
+              rollout_return_fn: Callable = None):
     """One MPPI importance-weighted update of the nominal sequence (no
     receding-horizon shift). Returns (new_mean, metrics).
 
@@ -69,13 +70,18 @@ def mppi_step(cfg: MPPIConfig, rollout_step: Callable, env_state, mean, rng):
 
     discounts = cfg.gamma ** jnp.arange(H, dtype=mean.dtype)
 
-    def rollout(seq):
-        def body(s, a):
-            s2, r = rollout_step(s, a)
-            return s2, r
+    if rollout_return_fn is not None:
+        # caller-supplied rollout (e.g. a product-carrying scan that reuses
+        # forward kinematics between consecutive planned steps)
+        rollout = lambda seq: rollout_return_fn(env_state, seq, discounts)
+    else:
+        def rollout(seq):
+            def body(s, a):
+                s2, r = rollout_step(s, a)
+                return s2, r
 
-        _, rewards = jax.lax.scan(body, env_state, seq)
-        return jnp.sum(rewards * discounts)
+            _, rewards = jax.lax.scan(body, env_state, seq)
+            return jnp.sum(rewards * discounts)
 
     returns = jax.vmap(rollout)(seqs)  # (K,)
 

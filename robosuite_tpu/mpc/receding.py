@@ -132,6 +132,24 @@ class RecedingMPC:
             env_state, action, model=self.plan_model, n_substeps=self.plan_substeps
         )
 
+    def plan_rollout_return(self, env_state, seq, discounts):
+        """Whole-sequence rollout return with forward products carried
+        between planned steps (one forward-kernel call per step instead of
+        two — the end products of step t are the start products of t+1)."""
+        from robosuite_tpu.physics import engine
+
+        kin0, M0, b0 = engine.forward_products(self.plan_model, env_state.physics)
+
+        def body(carry, a):
+            s, kin, M, bias = carry
+            s2, r, kin2, M2, b2 = self.env._rollout_with_products(
+                s, a, self.plan_model, self.plan_substeps, kin, M, bias
+            )
+            return (s2, kin2, M2, b2), r
+
+        _, rewards = jax.lax.scan(body, (env_state, kin0, M0, b0), seq)
+        return jnp.sum(rewards * discounts)
+
     def _ilqr_dynamics(self, x, u):
         es, _ = self.plan_rollout_step(self._to_env_state(x), u)
         return self._to_x(es)
@@ -170,7 +188,8 @@ class RecedingMPC:
             rng, k_noise = jax.random.split(mpc.rng)
             # 1. MPPI warm start (full env reward as the sampling objective)
             mean, metrics = mppi_mod.mppi_step(
-                mppi_cfg, self.plan_rollout_step, env_state, mpc.us, k_noise
+                mppi_cfg, self.plan_rollout_step, env_state, mpc.us, k_noise,
+                rollout_return_fn=self.plan_rollout_return,
             )
 
             # 2. iLQR refinement on the raveled state

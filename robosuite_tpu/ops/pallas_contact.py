@@ -85,14 +85,23 @@ def _apgd_xla(JfT, Lm, aref, qacc_smooth, reg3, mu, active, K, ne, iters, power_
     def matvec(x):
         return Jf @ (MinvJT @ x) + R * x
 
+    # Power-iterate the ACTIVE submatrix only: APGD iterates live in the
+    # active subspace (projection zeroes inactive rows), so the step size
+    # must come from the active rows' spectrum. Without the mask, inactive
+    # rows on light links (finger pads: A_ii ~ 1/m) inflate L and the step
+    # size collapses — contacts then barely decelerate anything.
+    rowmask = jnp.concatenate(
+        [active, active, active, jnp.ones(ne, dtype=aref.dtype)]
+    ) if ne else jnp.concatenate([active, active, active])
+
     def power_body(_, v):
-        w = matvec(v)
+        w = matvec(v) * rowmask
         return w / jnp.maximum(jnp.linalg.norm(w), 1e-9)
 
-    v0 = jnp.ones(ntot, dtype=aref.dtype)
+    v0 = rowmask + 1e-6
     v0 = v0 / jnp.maximum(jnp.linalg.norm(v0), 1e-9)
     v = jax.lax.fori_loop(0, power_iters, power_body, v0)
-    L = jnp.maximum(jnp.sum(v * matvec(v)), 1e-6)
+    L = jnp.maximum(jnp.sum(v * (matvec(v) * rowmask)), 1e-6)
     inv_L = 1.0 / (1.1 * L)
 
     def apgd_iter(_, carry):
@@ -143,24 +152,19 @@ def _chol_solve_vec(L, b, n):
     return x
 
 
-def _make_kernel(nv, ntot, K, ne, iters, power_iters, dt_step):
-    """Batched kernel: all arrays batch-minor (..., B-tile of 128 lanes).
+def constrained_vel_lanes(nv, ntot, K, ne, iters, power_iters, dt_step,
+                          A_rows, damp, qv, qf, JfT, aref_a, reg3_a, mu, act):
+    """Lane-level constrained velocity update (the kernel body, reusable by
+    the fused substep megakernel in ops/pallas_substep.py).
 
-    One substep's constrained velocity update: M factor, smooth solve, APGD
-    cone QP, implicit-damping velocity solve — all operands VMEM-resident."""
-
-    def kernel(M_ref, JfT_ref, aref_ref, qfrc_ref_in, qvel_ref, damp_ref,
-               reg3_ref, mu_ref, act_ref, qvel_out_ref, f_ref):
-        dt = JfT_ref.dtype
+    A_rows: M as per-entry (128,) lane rows; damp/qv/qf: lists of (128,);
+    JfT: (nv, ntot, 128); aref_a/reg3_a: (ntot, 128); mu/act: (K, 128).
+    Returns (qvel_new rows list, f (ntot, 128))."""
+    if True:
+        dt = JfT.dtype
         # ---- factor M, solve qacc_smooth ----------------------------------
-        A_rows = [[M_ref[i, j] for j in range(nv)] for i in range(nv)]
         Lr = _chol_rows(A_rows, nv)
-        damp = [damp_ref[i] for i in range(nv)]
-        qv = [qvel_ref[i] for i in range(nv)]
-        qf = [qfrc_ref_in[i] for i in range(nv)]
         qacc_l = _chol_solve_vec(Lr, [qf[i] - damp[i] * qv[i] for i in range(nv)], nv)
-
-        JfT = JfT_ref[...]          # (nv, ntot, 128)
 
         # ---- MinvJT: solve (L L^T) X = Jf^T, rhs width ntot ---------------
         # forward substitution L y = Jf^T
@@ -180,14 +184,11 @@ def _make_kernel(nv, ntot, K, ne, iters, power_iters, dt_step):
 
         # ---- diagA, R, rhs -------------------------------------------------
         diagA = jnp.maximum(jnp.sum(JfT * MinvJT, axis=0), 1e-8)  # (ntot, 128)
-        R = reg3_ref[...] * diagA
+        R = reg3_a * diagA
         a0 = jnp.zeros((ntot, LANES), dtype=dt)
         for i in range(nv):
             a0 = a0 + JfT[i] * qacc_l[i][None, :]
-        rhs = aref_ref[...] - a0
-
-        mu = mu_ref[...]            # (K, 128)
-        act = act_ref[...]
+        rhs = aref_a - a0
 
         def matvec(xv):
             # t = MinvJT @ xv : contract over rows
@@ -209,12 +210,21 @@ def _make_kernel(nv, ntot, K, ne, iters, power_iters, dt_step):
             return jnp.concatenate(parts, axis=0)
 
         # ---- power iteration for the step size ----------------------------
-        v = jnp.full((ntot, LANES), 1.0 / np.sqrt(ntot), dtype=dt)
+        # active-submatrix only (see _apgd_xla rowmask note)
+        if ne:
+            rowmask = jnp.concatenate(
+                [act, act, act, jnp.ones((ne, LANES), dtype=dt)], axis=0
+            )
+        else:
+            rowmask = jnp.concatenate([act, act, act], axis=0)
+        v = (rowmask + 1e-6) / jnp.sqrt(
+            jnp.maximum(jnp.sum((rowmask + 1e-6) ** 2, axis=0), 1e-18)
+        )[None, :]
         for _ in range(power_iters):
-            w = matvec(v)
+            w = matvec(v) * rowmask
             nrm = jnp.sqrt(jnp.maximum(jnp.sum(w * w, axis=0), 1e-18))
             v = w / nrm[None, :]
-        L_est = jnp.maximum(jnp.sum(v * matvec(v), axis=0), 1e-6)
+        L_est = jnp.maximum(jnp.sum(v * (matvec(v) * rowmask), axis=0), 1e-6)
         inv_L = 1.0 / (1.1 * L_est)  # (128,)
 
         # ---- APGD ----------------------------------------------------------
@@ -238,7 +248,28 @@ def _make_kernel(nv, ntot, K, ne, iters, power_iters, dt_step):
         Lh = _chol_rows(Ah_rows, nv)
         rhs_v = [qf[i] + qfrc_con[i] - damp[i] * qv[i] for i in range(nv)]
         dv = _chol_solve_vec(Lh, rhs_v, nv)
-        qvel_out_ref[...] = jnp.stack([qv[i] + dt_step * dv[i] for i in range(nv)])
+        return [qv[i] + dt_step * dv[i] for i in range(nv)], f
+
+
+def _make_kernel(nv, ntot, K, ne, iters, power_iters, dt_step):
+    """Batched kernel: all arrays batch-minor (..., B-tile of 128 lanes).
+
+    One substep's constrained velocity update: M factor, smooth solve, APGD
+    cone QP, implicit-damping velocity solve — all operands VMEM-resident.
+    Thin ref wrapper over constrained_vel_lanes."""
+
+    def kernel(M_ref, JfT_ref, aref_ref, qfrc_ref_in, qvel_ref, damp_ref,
+               reg3_ref, mu_ref, act_ref, qvel_out_ref, f_ref):
+        A_rows = [[M_ref[i, j] for j in range(nv)] for i in range(nv)]
+        damp = [damp_ref[i] for i in range(nv)]
+        qv = [qvel_ref[i] for i in range(nv)]
+        qf = [qfrc_ref_in[i] for i in range(nv)]
+        qvel_new, f = constrained_vel_lanes(
+            nv, ntot, K, ne, iters, power_iters, dt_step,
+            A_rows, damp, qv, qf, JfT_ref[...], aref_ref[...], reg3_ref[...],
+            mu_ref[...], act_ref[...],
+        )
+        qvel_out_ref[...] = jnp.stack(qvel_new)
         f_ref[...] = f
 
     return kernel

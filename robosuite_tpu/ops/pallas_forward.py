@@ -156,9 +156,23 @@ def _ancestors(model, b):
         k = model.body_parentid[k]
 
 
-def _make_kernel(model):
-    nb, nv, nq = model.nbody, model.nv, model.nq
-    ngeom, nsite = model.ngeom, model.nsite
+class ForwardLanes:
+    """Lane-tuple forward products: every field is a per-scenario scalar as a
+    (128,) lane vector (or a tuple/list of them). Produced by
+    forward_lane_body; consumed by this module's kernel and by the fused
+    substep megakernel (ops/pallas_substep.py)."""
+
+    __slots__ = ("xpos", "xquat", "xmat", "xipos", "ximat", "sdof_ang",
+                 "sdof_lin", "M_rows", "bias", "geom_pose", "site_pose",
+                 "one", "zero", "const3", "const4")
+
+
+def forward_lane_body(model, q, qd, mass, inertia, grav_in, arma, dtype):
+    """FK + CRBA + RNEA on lane tuples — the shared kernel body.
+
+    Args: q/qd lists of (128,) lanes; mass/inertia/arma indexable per body/
+    dof; grav_in (3,) indexable. Returns a ForwardLanes."""
+    nb, nv = model.nbody, model.nv
     body_pos = np.asarray(model.body_pos, dtype=np.float32)
     body_quat = np.asarray(model.body_quat, dtype=np.float32)
     body_ipos = np.asarray(model.body_ipos, dtype=np.float32)
@@ -168,8 +182,8 @@ def _make_kernel(model):
     qpos0 = np.asarray(model.qpos0, dtype=np.float32)
     geom_pos = np.asarray(model.geom_pos, dtype=np.float32)
     geom_quat = np.asarray(model.geom_quat, dtype=np.float32)
-    site_pos = np.asarray(model.site_pos, dtype=np.float32) if nsite else None
-    site_quat = np.asarray(model.site_quat, dtype=np.float32) if nsite else None
+    site_pos = np.asarray(model.site_pos, dtype=np.float32) if model.nsite else None
+    site_quat = np.asarray(model.site_quat, dtype=np.float32) if model.nsite else None
 
     anc_dofs, moving, sub_bodies, desc = _tree_meta(model)
     dof_body = [model.dof_bodyid[d] for d in range(nv)]
@@ -180,13 +194,9 @@ def _make_kernel(model):
             for i in range(3):
                 free_trans.add(model.jnt_dofadr[j] + i)
 
-    def kernel(qpos_ref, qvel_ref, mass_ref, inertia_ref, grav_ref, arma_ref,
-               xpos_ref, xquat_ref, xmat_ref, gx_ref, gm_ref, sx_ref, sm_ref,
-               sa_ref, sl_ref, M_ref, bias_ref, xipos_ref, ximat_ref):
-        q = [qpos_ref[i] for i in range(nq)]
-        qd = [qvel_ref[i] for i in range(nv)]
-        one = jnp.ones((LANES,), dtype=qpos_ref.dtype)
-        zero = jnp.zeros((LANES,), dtype=qpos_ref.dtype)
+    if True:  # (indentation shim: body below unchanged from the kernel)
+        one = jnp.ones((LANES,), dtype=dtype)
+        zero = jnp.zeros((LANES,), dtype=dtype)
 
         def const3(arr):
             return (arr[0] * one, arr[1] * one, arr[2] * one)
@@ -266,9 +276,9 @@ def _make_kernel(model):
             _quat2mat(_quat_mul(xquat[b], const4(body_iquat[b]))) for b in range(nb)
         ]
 
-        m = [mass_ref[b] for b in range(nb)]
-        Idiag = [(inertia_ref[b, 0], inertia_ref[b, 1], inertia_ref[b, 2]) for b in range(nb)]
-        grav = (grav_ref[0], grav_ref[1], grav_ref[2])
+        m = [mass[b] for b in range(nb)]
+        Idiag = [inertia[b] for b in range(nb)]
+        grav = (grav_in[0], grav_in[1], grav_in[2])
 
         def I_about_com(b):
             """R diag(I) R^T rows for body b (inertia frame = ximat)."""
@@ -319,7 +329,7 @@ def _make_kernel(model):
                 M_rows[e][d] = a
                 M_rows[d][e] = a
         for d in range(nv):
-            M_rows[d][d] = M_rows[d][d] + arma_ref[d]
+            M_rows[d][d] = M_rows[d][d] + arma[d]
 
         # ---- RNEA bias (centroid-referenced, static tree sums) --------------
         msum = _tree_sum1([m[b] for b in range(nb)])
@@ -389,34 +399,79 @@ def _make_kernel(model):
             ft_ang[b] = _tree_sum3([f_ang_b[b2] for b2 in desc[b]])
             ft_lin[b] = _tree_sum3([f_lin_b[b2] for b2 in desc[b]])
 
+        bias_rows = [None] * nv
         for d in range(nv):
             bd = dof_body[d]
-            bias_ref[d] = _dot(sdof_ang[d], ft_ang[bd]) + _dot(sd_lin[d], ft_lin[bd])
+            bias_rows[d] = _dot(sdof_ang[d], ft_ang[bd]) + _dot(sd_lin[d], ft_lin[bd])
+
+    out = ForwardLanes()
+    out.xpos = xpos
+    out.xquat = xquat
+    out.xmat = xmat
+    out.xipos = xipos
+    out.ximat = ximat
+    out.sdof_ang = sdof_ang
+    out.sdof_lin = sdof_lin
+    out.M_rows = M_rows
+    out.bias = bias_rows
+    out.one = one
+    out.zero = zero
+    out.const3 = const3
+    out.const4 = const4
+
+    def geom_pose(g):
+        """(pos 3-tuple, rot 3x3 row tuples) of geom g in world."""
+        b = model.geom_bodyid[g]
+        gp = _add(xpos[b], _quat_rot(xquat[b], const3(geom_pos[g])))
+        gR = _quat2mat(_quat_mul(xquat[b], const4(geom_quat[g])))
+        return gp, gR
+
+    def site_pose(s_i):
+        b = model.site_bodyid[s_i]
+        sp = _add(xpos[b], _quat_rot(xquat[b], const3(site_pos[s_i])))
+        sR = _quat2mat(_quat_mul(xquat[b], const4(site_quat[s_i])))
+        return sp, sR
+
+    out.geom_pose = geom_pose
+    out.site_pose = site_pose
+    return out
+
+
+def _make_kernel(model):
+    nb, nv, nq = model.nbody, model.nv, model.nq
+    ngeom, nsite = model.ngeom, model.nsite
+
+    def kernel(qpos_ref, qvel_ref, mass_ref, inertia_ref, grav_ref, arma_ref,
+               xpos_ref, xquat_ref, xmat_ref, gx_ref, gm_ref, sx_ref, sm_ref,
+               sa_ref, sl_ref, M_ref, bias_ref, xipos_ref, ximat_ref):
+        q = [qpos_ref[i] for i in range(nq)]
+        qd = [qvel_ref[i] for i in range(nv)]
+        mass = [mass_ref[b] for b in range(nb)]
+        inertia = [(inertia_ref[b, 0], inertia_ref[b, 1], inertia_ref[b, 2])
+                   for b in range(nb)]
+        grav = (grav_ref[0], grav_ref[1], grav_ref[2])
+        arma = [arma_ref[d] for d in range(nv)]
+        fw = forward_lane_body(model, q, qd, mass, inertia, grav, arma,
+                               qpos_ref.dtype)
 
         # ---- outputs ---------------------------------------------------------
         for b in range(nb):
             for i in range(3):
-                xpos_ref[b * 3 + i] = xpos[b][i]
+                xpos_ref[b * 3 + i] = fw.xpos[b][i]
             for i in range(4):
-                xquat_ref[b * 4 + i] = xquat[b][i]
+                xquat_ref[b * 4 + i] = fw.xquat[b][i]
             for i in range(3):
                 for jj in range(3):
-                    xmat_ref[b * 9 + i * 3 + jj] = xmat[b][i][jj]
+                    xmat_ref[b * 9 + i * 3 + jj] = fw.xmat[b][i][jj]
         for g in range(ngeom):
-            b = model.geom_bodyid[g]
-            gp = _add(xpos[b], _quat_rot(xquat[b], const3(geom_pos[g])))
-            gq = _quat_mul(xquat[b], const4(geom_quat[g]))
-            gR = _quat2mat(gq)
+            gp, gR = fw.geom_pose(g)
             for i in range(3):
                 gx_ref[g * 3 + i] = gp[i]
             for i in range(3):
                 for jj in range(3):
                     gm_ref[g * 9 + i * 3 + jj] = gR[i][jj]
         for s_i in range(nsite):
-            b = model.site_bodyid[s_i]
-            sp = _add(xpos[b], _quat_rot(xquat[b], const3(site_pos[s_i])))
-            sq = _quat_mul(xquat[b], const4(site_quat[s_i]))
-            sR = _quat2mat(sq)
+            sp, sR = fw.site_pose(s_i)
             for i in range(3):
                 sx_ref[s_i * 3 + i] = sp[i]
             for i in range(3):
@@ -424,17 +479,19 @@ def _make_kernel(model):
                     sm_ref[s_i * 9 + i * 3 + jj] = sR[i][jj]
         for d in range(nv):
             for i in range(3):
-                sa_ref[d * 3 + i] = sdof_ang[d][i]
-                sl_ref[d * 3 + i] = sdof_lin[d][i]
+                sa_ref[d * 3 + i] = fw.sdof_ang[d][i]
+                sl_ref[d * 3 + i] = fw.sdof_lin[d][i]
         for i in range(nv):
             for jj in range(nv):
-                M_ref[i * nv + jj] = M_rows[i][jj]
+                M_ref[i * nv + jj] = fw.M_rows[i][jj]
+        for d in range(nv):
+            bias_ref[d] = fw.bias[d]
         for b in range(nb):
             for i in range(3):
-                xipos_ref[b * 3 + i] = xipos[b][i]
+                xipos_ref[b * 3 + i] = fw.xipos[b][i]
             for i in range(3):
                 for jj in range(3):
-                    ximat_ref[b * 9 + i * 3 + jj] = ximat[b][i][jj]
+                    ximat_ref[b * 9 + i * 3 + jj] = fw.ximat[b][i][jj]
 
     return kernel
 

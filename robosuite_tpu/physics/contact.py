@@ -70,6 +70,46 @@ def pair_max_points(t1: int, t2: int) -> int:
     return _PAIR_POINTS.get(key, 1)
 
 
+# Per-pair manifold cap: candidate manifolds larger than this are reduced to
+# the MANIFOLD_CAP deepest points inside narrowphase. Four points span a
+# planar contact patch (a box resting flat has exactly its four face corners
+# deepest), so the reduction preserves resting/grasp physics while giving the
+# solver a STATIC per-pair row layout: rows never move between slots, so no
+# global active-row compaction is needed — the one-hot compaction matmul was
+# the dominant XLA cost between the Pallas kernels at MPC batch widths.
+MANIFOLD_CAP = 4
+
+
+def pair_points(t1: int, t2: int) -> int:
+    """Points per pair AFTER manifold reduction (the solver's row count)."""
+    return min(pair_max_points(t1, t2), MANIFOLD_CAP)
+
+
+def contact_row_layout(model):
+    """Static map candidate-pair index -> contact-buffer row indices.
+
+    THE single source of truth for the narrowphase buffer's row order:
+    rows are GROUP-major (pair groups sorted by (type1, type2), pairs in
+    model order within a group), `pair_points` rows per pair. Consumers
+    that index the buffer by pair (grasp checks, force observables) must
+    use this — a naive pair-index-order mapping reads the wrong rows
+    whenever the model has more than one pair-type group."""
+    groups: dict = {}
+    for k in range(model.npair):
+        t1 = model.geom_type[model.pair_geom1[k]]
+        t2 = model.geom_type[model.pair_geom2[k]]
+        key = (int(min(t1, t2)), int(max(t1, t2)))
+        groups.setdefault(key, []).append(int(k))
+    rows = {}
+    row = 0
+    for key in sorted(groups):
+        npts = pair_points(*key)
+        for k in groups[key]:
+            rows[k] = list(range(row, row + npts))
+            row += npts
+    return rows
+
+
 # ---------------------------------------------------------------------------
 # primitive narrowphase — each returns (dist (n,), pos (n,3), normal (n,3))
 # normal points from geom1 into geom2; dist < 0 means penetrating.
@@ -400,13 +440,21 @@ _DISPATCH = {
 }
 
 
-def narrowphase(model, kin):
-    """Run all candidate pairs; return fixed-size contact buffer.
+def narrowphase(model, kin, pairs=None):
+    """Run candidate pairs; return fixed-size contact buffer.
+
+    `pairs`: optional static list of pair indices to restrict to — contact
+    QUERIES (grasp checks, per-pair touch tests in rewards) only need their
+    own pairs, and running the full buffer inside every reward evaluation
+    dominated MPC planning rollouts. Row order within the subset stays
+    group-major, so a subset's rows are ordered like the full buffer's
+    restriction to those pairs.
 
     Returns dict with (ncon_max,) / (ncon_max,3)-shaped arrays:
       dist, pos, frame (3x3, rows normal/t1/t2), friction (3,), solref, solimp,
       geom1/geom2 body ids (static lists), include mask from dist threshold.
     """
+    pair_filter = None if pairs is None else set(int(p) for p in pairs)
     # Group candidate pairs by (type1, type2) and run each group's kernel
     # ONCE, vmapped over the pair axis — one vectorized SAT for all box-box
     # pairs instead of npair unrolled copies of the graph. Grouping is
@@ -415,6 +463,8 @@ def narrowphase(model, kin):
     # the rows.
     groups: dict = {}
     for k in range(model.npair):
+        if pair_filter is not None and k not in pair_filter:
+            continue
         g1, g2 = model.pair_geom1[k], model.pair_geom2[k]
         t1, t2 = model.geom_type[g1], model.geom_type[g2]
         flip = t1 > t2
@@ -442,6 +492,13 @@ def narrowphase(model, kin):
         )  # d: (P, npts), p/n: (P, npts, 3)
         flip_sign = np.array([-1.0 if it[3] else 1.0 for it in items], dtype=np.float32)
         n = n * flip_sign[:, None, None]
+        # manifold reduction: keep the MANIFOLD_CAP deepest points per pair
+        # (see MANIFOLD_CAP note — static row layout, no global compaction)
+        if d.shape[1] > MANIFOLD_CAP:
+            _, idx = jax.lax.top_k(-d, MANIFOLD_CAP)  # (P, CAP)
+            d = jnp.take_along_axis(d, idx, axis=1)
+            p = jnp.take_along_axis(p, idx[:, :, None], axis=1)
+            n = jnp.take_along_axis(n, idx[:, :, None], axis=1)
         npts = d.shape[1]
         dists.append(d.reshape(-1))
         poss.append(p.reshape(-1, 3))
@@ -509,8 +566,8 @@ def contact_warmstart_dim(model):
     for k in range(model.npair):
         t1 = model.geom_type[model.pair_geom1[k]]
         t2 = model.geom_type[model.pair_geom2[k]]
-        nc_total += pair_max_points(t1, t2)
-    K = min(32, nc_total)
+        nc_total += pair_points(t1, t2)
+    K = nc_total
     ne = 0
     if model.neq:
         from robosuite_tpu.physics.equality import equality_row_count
@@ -586,60 +643,29 @@ def _solver_inputs_impl(model, kin, con, M, qvel, qfrc_smooth, dt, eq, damping):
     nc_total = con["dist"].shape[0]
     nv = model.nv
 
-    # --- active-row compaction ----------------------------------------------
-    # The static candidate buffer is sized for the worst case (hundreds of
-    # rows); at any instant only a handful penetrate. Compact the penetrating
-    # rows into K static slots — physically identical as long as K >= the
-    # number of truly active contacts. Selection is a prefix-sum slot
-    # assignment realized as ONE one-hot matmul (MXU-friendly); lax.top_k
-    # here cost 27% of the whole physics substep on v5e.
-    K = min(32, nc_total)
-    depth_score = -(con["dist"] - con["margin"])
-    act = depth_score > 0.0
-    slot = jnp.cumsum(act.astype(jnp.int32)) - 1
-    slot = jnp.where(act, slot, K)  # inactive / overflow rows drop
-    onehot = (slot[:, None] == jnp.arange(K, dtype=jnp.int32)[None, :]).astype(
-        con["dist"].dtype
-    )  # (nc_total, K)
-
+    # --- static row layout (no compaction) ----------------------------------
+    # narrowphase already reduced each pair's manifold to <= MANIFOLD_CAP
+    # deepest points, so the candidate buffer IS the solver's row set: every
+    # row keeps a fixed (pair, point) identity across steps and inactive rows
+    # ride through the solver masked (active = 0 zeroes their force bounds).
+    # This replaced a global prefix-sum one-hot compaction to K=32 slots,
+    # which at MPC batch widths dominated the substep (lane-padded cols
+    # buffer + per-scenario matmul between the two Pallas kernels) and
+    # silently dropped contacts past 32 active rows.
+    dist = con["dist"]
+    margin = con["margin"]
+    pos = con["pos"]
+    normal = con["normal"]
+    friction = con["friction"]
+    solref = con["solref"]
+    solimp = con["solimp"]
+    t1 = con["t1"]
+    t2 = con["t2"]
     b1 = np.asarray(con["body1"], dtype=np.int32)
     b2 = np.asarray(con["body2"], dtype=np.int32)
-    dmask_full = jnp.asarray(model.ancestor_mask[b2] - model.ancestor_mask[b1])  # (nc_total, nv)
+    dmask = jnp.asarray(model.ancestor_mask[b2] - model.ancestor_mask[b1])  # (nc_total, nv)
 
-    # column widths come from the SOURCE arrays — a hardcoded width that
-    # disagrees (e.g. 3 for the 5-wide solimp) silently shifts every later
-    # column and hands the solver a garbage dof mask
-    fields = [
-        ("dist", con["dist"][:, None]),
-        ("margin", con["margin"][:, None]),
-        ("pos", con["pos"]),
-        ("normal", con["normal"]),
-        ("friction", con["friction"]),
-        ("solref", con["solref"]),
-        ("solimp", con["solimp"]),
-        ("t1", con["t1"]),
-        ("t2", con["t2"]),
-        ("dmask", dmask_full),
-    ]
-    cols = jnp.concatenate([v for _, v in fields], axis=-1)  # (nc_total, D)
-    sel_cols = onehot.T @ cols  # (K, D) — the only pass over the full buffer
-    out = {}
-    i = 0
-    for name, v in fields:
-        out[name] = sel_cols[:, i : i + v.shape[-1]]
-        i += v.shape[-1]
-    dist = out["dist"][:, 0]
-    margin = out["margin"][:, 0]
-    pos = out["pos"]
-    normal = out["normal"]
-    friction = out["friction"]
-    solref = out["solref"]
-    solimp = out["solimp"]
-    t1 = out["t1"]
-    t2 = out["t2"]
-    dmask = out["dmask"]
-
-    nc = K
+    nc = nc_total
     # contact jacobians, batched: rows (normal, t1, t2), J (nc, 3, nv)
     jac_lin = kin.sdof_lin[None, :, :] + jnp.cross(
         kin.sdof_ang[None, :, :], pos[:, None, :]

@@ -463,15 +463,27 @@ class FixedBaseRobot:
             lo, hi = self.torque_limits[arm]
             tau = jnp.clip(tau, jnp.asarray(lo, dtype=tau.dtype), jnp.asarray(hi, dtype=tau.dtype))
             ctrl = ctrl.at[self.arm_actuator_ids[arm]].set(tau)
-            if arm in self.rm.grippers and self.rm.grippers[arm].dof > 0:
-                gcfg = self.grip_cfg[arm]
-                aid = self.gripper_actuator_ids[arm]
-                amin = jnp.asarray(np.asarray(self.model.actuator_ctrlrange)[aid, 0])
-                amax = jnp.asarray(np.asarray(self.model.actuator_ctrlrange)[aid, 1])
-                gst = grip_mod.set_goal(gcfg, grip_mod.GripState(goal_qvel=ctrl_state.gripper_action[arm]), ctrl_state.gripper_action[arm])
-                gctrl = grip_mod.run(gcfg, gst, amin, amax)
-                ctrl = ctrl.at[aid].set(gctrl)
+            gctrl = self.gripper_ctrl(arm, ctrl_state)
+            if gctrl is not None:
+                ctrl = ctrl.at[self.gripper_actuator_ids[arm]].set(gctrl)
         return ctrl
+
+    def gripper_ctrl(self, arm, ctrl_state: RobotCtrlState):
+        """Actuator-space gripper ctrl values for the current tick's gripper
+        action state, or None when the arm has no actuated gripper. Constant
+        across substeps — shared by run_controllers and the fused-substep
+        path (envs/base.py), which hands it to the kernel as an input."""
+        if arm not in self.rm.grippers or self.rm.grippers[arm].dof == 0:
+            return None
+        gcfg = self.grip_cfg[arm]
+        aid = self.gripper_actuator_ids[arm]
+        amin = jnp.asarray(np.asarray(self.model.actuator_ctrlrange)[aid, 0])
+        amax = jnp.asarray(np.asarray(self.model.actuator_ctrlrange)[aid, 1])
+        gst = grip_mod.set_goal(
+            gcfg, grip_mod.GripState(goal_qvel=ctrl_state.gripper_action[arm]),
+            ctrl_state.gripper_action[arm],
+        )
+        return grip_mod.run(gcfg, gst, amin, amax)
 
 
 class MobileRobot(FixedBaseRobot):
