@@ -72,15 +72,12 @@ def bench_mpc_solves(env):
         n_knots=8, n_ilqr_iters=0, plan_timestep=0.025,
     )
     mpc = receding.RecedingMPC(env, cfg)
-    solve = mpc.make_solve()
+    solve_batch = mpc.make_solve_batch()
 
     def tick(states, mss):
-        def one(state, ms):
-            action, ms2, _ = solve(state, ms)
-            state2, reward = env._rollout_impl(state, action)
-            return state2, ms2, reward
-
-        return jax.vmap(one)(states, mss)
+        actions, mss2, _ = solve_batch(states, mss)
+        states2, rewards = jax.vmap(env._rollout_impl)(states, actions)
+        return states2, mss2, rewards
 
     tick = jax.jit(tick)
 

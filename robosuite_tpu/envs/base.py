@@ -25,7 +25,7 @@ from robosuite_tpu.models.bases import robot_base_factory
 from robosuite_tpu.models.grippers import gripper_factory
 from robosuite_tpu.models.robots import create_robot
 from robosuite_tpu.physics import engine
-from robosuite_tpu.physics.state import State
+from robosuite_tpu.physics.state import KinData, State
 from robosuite_tpu.robots import FixedBaseRobot, RobotCtrlState
 
 REGISTERED_ENVS: Dict[str, type] = {}
@@ -258,6 +258,10 @@ class RobotEnv:
         if rows.size == 0:
             return jnp.asarray(False)
         pairs = self._rows_to_pairs(rows)
+        if kin.pair_dist is not None:
+            # kin-lite from the fused planning rollout carries per-pair
+            # min distances — no narrowphase re-run
+            return jnp.any(kin.pair_dist[jnp.asarray(pairs)] < 0.0)
         con = cmod.narrowphase(self.model, kin, pairs=pairs)
         return jnp.any(con["dist"] < 0.0)
 
@@ -364,22 +368,132 @@ class RobotEnv:
             i += r.action_dim
         return out
 
-    def _fused_for(self, model):
+    def _fused_for(self, model, emit_aux=False):
         """Fused-substep megakernel for `model`, or None when unsupported.
         Keyed by model identity (the cache holds the model ref so ids stay
         valid); a DR-modified model gets its own build."""
         if not hasattr(self, "_fused_cache"):
             self._fused_cache = {}
-        key = id(model)
+        key = (id(model), emit_aux)
         if key not in self._fused_cache:
             from robosuite_tpu.ops.pallas_substep import UnsupportedFused, make_fused_substep
 
             try:
-                fn = make_fused_substep(self, model)
+                fn = make_fused_substep(self, model, emit_aux=emit_aux)
             except UnsupportedFused:
                 fn = None
             self._fused_cache[key] = (model, fn)
         return self._fused_cache[key][1]
+
+    def make_plan_return(self, model, n_substeps):
+        """rollout_return(env_state, seq, discounts) for MPC planning: roll
+        the whole action sequence, return the discounted reward sum.
+
+        Fused form (when the megakernel covers this world): the kernel's
+        POST-step aux (site/body poses + per-pair min dists) feeds both the
+        reward and the next step's set_goals, so the scan runs with ZERO
+        forward-products calls after the initial one. Falls back to the
+        product-carrying scan otherwise."""
+        import numpy as np_
+
+        fused = self._fused_for(model, emit_aux=True) if not getattr(self, "_disable_fused", False) else None
+        if fused is None:
+            def rollout_return(env_state, seq, discounts):
+                kin0, M0, b0 = engine.forward_products(model, env_state.physics)
+
+                def body(carry, a):
+                    s, kin, M, bias = carry
+                    s2, r, kin2, M2, b2 = self._rollout_with_products(
+                        s, a, model, n_substeps, kin, M, bias
+                    )
+                    return (s2, kin2, M2, b2), r
+
+                _, rewards = jax.lax.scan(body, (env_state, kin0, M0, b0), seq)
+                return jnp.sum(rewards * discounts)
+
+            return rollout_return
+
+        from robosuite_tpu.controllers.parts import osc as osc_mod
+
+        robot = self.robots[0]
+        armn = robot.arms[0]
+        cfg = robot.arm_cfg[armn]
+        cen = robot.center_site_id[armn]
+        nv, nbody, ngeom = model.nv, model.nbody, model.ngeom
+        dt = model.timestep
+
+        def kin_lite(sx, sm, bx, pd, dtype):
+            """KinData carrying only what set_goals/rewards may touch; geom
+            fields are NaN so any untracked consumer surfaces immediately."""
+            z3 = jnp.zeros((nv, 3), dtype)
+            nang = jnp.full((ngeom, 3), jnp.nan, dtype)
+            nangm = jnp.full((ngeom, 3, 3), jnp.nan, dtype)
+            zb = jnp.zeros((nbody, 3), dtype)
+            zbm = jnp.zeros((nbody, 3, 3), dtype)
+            zq = jnp.zeros((nbody, 4), dtype)
+            return KinData(
+                xpos=bx, xquat=zq, xmat=zbm, xipos=zb, ximat=zbm,
+                sdof_ang=z3, sdof_lin=z3, geom_xpos=nang, geom_xmat=nangm,
+                site_xpos=sx, site_xmat=sm, pair_dist=pd,
+            )
+
+        M0c = jnp.zeros((nv, nv))
+        b0c = jnp.zeros(nv)
+
+        def plan_step(state, action, aux):
+            sx, sm, bx, pd = aux
+            physics = state.physics
+            action = jnp.clip(action, *self._action_clip)
+            kl = kin_lite(sx, sm, bx, pd, physics.qpos.dtype)
+            ctrl_states = self._unpack_ctrl(state.ctrl)
+            robot_actions = self._split_robot_actions(action)
+            ctrl_states = [
+                r.set_goals(kl, M0c.astype(physics.qpos.dtype), b0c.astype(physics.qpos.dtype),
+                            physics.qpos, physics.qvel, cs, a)
+                for r, cs, a in zip(self.robots, ctrl_states, robot_actions)
+            ]
+            packed = self._pack_ctrl(ctrl_states)
+            ostate = ctrl_states[0].arm[armn]
+            op, oR = sx[cen], sm[cen]
+            grip = robot.gripper_ctrl(armn, ctrl_states[0])
+            if grip is None:
+                grip = jnp.zeros(1, dtype=physics.qpos.dtype)
+
+            def substep(carry, k):
+                phys, _aux = carry
+                despos, desori = osc_mod.desired_world_pose(cfg, ostate, op, oR, k)
+                qpos2, qvel2, _f, sx2, sm2, bx2, pd2 = fused(
+                    phys.qpos, phys.qvel, model.body_mass, model.body_inertia,
+                    model.gravity, model.dof_armature, despos, desori,
+                    ostate.kp, ostate.kd, grip,
+                )
+                phys2 = phys.replace(qpos=qpos2, qvel=qvel2, time=phys.time + dt)
+                return (phys2, (sx2, sm2, bx2, pd2)), ()
+
+            (physics, aux2), _ = jax.lax.scan(
+                substep, (physics, aux), jnp.arange(n_substeps)
+            )
+            kl2 = kin_lite(*aux2, physics.qpos.dtype)
+            reward = self.reward(None, physics, kl2)
+            new_state = EnvState(physics=physics, ctrl=packed, t=state.t + 1, rng=state.rng)
+            return new_state, reward, aux2
+
+        def rollout_return(env_state, seq, discounts):
+            from robosuite_tpu.physics import contact as cmod
+
+            kin0, _, _ = engine.forward_products(model, env_state.physics)
+            pd0 = jnp.zeros((model.npair,), env_state.physics.qpos.dtype)
+            aux0 = (kin0.site_xpos, kin0.site_xmat, kin0.xpos, pd0)
+
+            def body(carry, a):
+                s, aux = carry
+                s2, r, aux2 = plan_step(s, a, aux)
+                return (s2, aux2), r
+
+            _, rewards = jax.lax.scan(body, (env_state, aux0), seq)
+            return jnp.sum(rewards * discounts)
+
+        return rollout_return
 
     def _fused_substep_fn(self, model, ctrl_states, kin):
         """Substep closure using the fused megakernel, or None. Resolves the

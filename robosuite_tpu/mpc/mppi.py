@@ -103,6 +103,64 @@ def mppi_step(cfg: MPPIConfig, rollout_step: Callable, env_state, mean, rng,
     return new_mean, metrics
 
 
+def mppi_step_batch(cfg: MPPIConfig, rollout_return_fn: Callable, env_states, means, rngs):
+    """Batched MPPI update over B solves with the (B, K) rollout grid
+    FLATTENED into one (B*K,) vmap.
+
+    The nested form — vmap over solves of [vmap over K samples] — fires the
+    kernels' custom_vmap rule at the INNER width K, padding K=32 to the
+    128-lane tile and then batching the padded call over B: 4x wasted lanes
+    on every planning substep. Flattening keeps the kernels at full width.
+
+    rollout_return_fn(env_state, seq, discounts) -> total return (the
+    product-carrying scan, mpc/receding.py). env_states/means/rngs carry a
+    leading (B,) axis. Returns (new_means (B, H, A), metrics)."""
+    B, H, A = means.shape
+    K = cfg.n_samples
+    dtype = means.dtype
+
+    if cfg.n_knots and cfg.n_knots < H:
+        k = cfg.n_knots
+        knots = jax.vmap(lambda key: jax.random.normal(key, (K, k, A), dtype=dtype))(rngs)
+        t = jnp.linspace(0.0, k - 1.0, H)
+        i0 = jnp.clip(jnp.floor(t).astype(jnp.int32), 0, k - 2)
+        frac = (t - i0)[None, None, :, None]
+        noise = cfg.noise_sigma * (
+            knots[:, :, i0, :] * (1.0 - frac) + knots[:, :, i0 + 1, :] * frac
+        )  # (B, K, H, A)
+    else:
+        noise = cfg.noise_sigma * jax.vmap(
+            lambda key: jax.random.normal(key, (K, H, A), dtype=dtype)
+        )(rngs)
+    seqs = jnp.clip(means[:, None] + noise, -1.0, 1.0)  # (B, K, H, A)
+
+    discounts = cfg.gamma ** jnp.arange(H, dtype=dtype)
+
+    flat_seqs = seqs.reshape(B * K, H, A)
+    flat_states = jax.tree.map(
+        lambda x: jnp.repeat(x, K, axis=0), env_states
+    )
+    returns = jax.vmap(
+        lambda s, q: rollout_return_fn(s, q, discounts)
+    )(flat_states, flat_seqs).reshape(B, K)
+
+    finite = jnp.isfinite(returns)
+    masked = jnp.where(finite, returns, -jnp.inf)
+    any_finite = jnp.any(finite, axis=1)
+    w = jax.nn.softmax(masked / cfg.temperature, axis=1)
+    w = jnp.where(any_finite[:, None], w, jnp.zeros_like(w))
+    new_means = jnp.einsum("bk,bkhA->bhA", w, seqs)
+    new_means = jnp.where(any_finite[:, None, None], new_means, means)
+
+    metrics = dict(
+        best_return=jnp.max(masked, axis=1),
+        mean_return=jnp.sum(jnp.where(finite, returns, 0.0), axis=1)
+        / jnp.maximum(jnp.sum(finite, axis=1), 1),
+        n_masked=jnp.sum(~finite, axis=1),
+    )
+    return new_means, metrics
+
+
 def mppi_update(cfg: MPPIConfig, rollout_step: Callable, env_state, planner: MPPIState):
     """One MPPI solve. rollout_step(env_state, action) -> (env_state, reward).
 

@@ -133,22 +133,14 @@ class RecedingMPC:
         )
 
     def plan_rollout_return(self, env_state, seq, discounts):
-        """Whole-sequence rollout return with forward products carried
-        between planned steps (one forward-kernel call per step instead of
-        two — the end products of step t are the start products of t+1)."""
-        from robosuite_tpu.physics import engine
-
-        kin0, M0, b0 = engine.forward_products(self.plan_model, env_state.physics)
-
-        def body(carry, a):
-            s, kin, M, bias = carry
-            s2, r, kin2, M2, b2 = self.env._rollout_with_products(
-                s, a, self.plan_model, self.plan_substeps, kin, M, bias
+        """Whole-sequence rollout return — delegates to the env's planner
+        builder (fused aux-carrying scan when the megakernel covers the
+        world; product-carrying scan otherwise)."""
+        if not hasattr(self, "_plan_return_fn"):
+            self._plan_return_fn = self.env.make_plan_return(
+                self.plan_model, self.plan_substeps
             )
-            return (s2, kin2, M2, b2), r
-
-        _, rewards = jax.lax.scan(body, (env_state, kin0, M0, b0), seq)
-        return jnp.sum(rewards * discounts)
+        return self._plan_return_fn(env_state, seq, discounts)
 
     def _ilqr_dynamics(self, x, u):
         es, _ = self.plan_rollout_step(self._to_env_state(x), u)
@@ -211,6 +203,57 @@ class RecedingMPC:
             return action, MPCState(us=shifted, rng=rng), metrics
 
         return solve
+
+    def make_solve_batch(self):
+        """Batched solve over B scenarios with the (B, K) planning grid
+        flattened into ONE vmap (mppi.mppi_step_batch) — the vmap(solve)
+        nesting fires the Pallas kernels' custom_vmap at width K and pads
+        K to the 128-lane tile, wasting 4x lanes at K=32.
+
+        Returns solve_batch(env_states, mpc_states) -> (actions, states',
+        metrics), all with a leading (B,) axis. iLQR refinement (if
+        enabled) runs per-solve under vmap as before."""
+        cfg = self.cfg
+        mppi_cfg = mppi_mod.MPPIConfig(
+            horizon=cfg.horizon, n_samples=cfg.n_samples, temperature=cfg.temperature,
+            noise_sigma=cfg.noise_sigma, gamma=cfg.gamma, n_knots=cfg.n_knots,
+        )
+        ilqr_cfg = ilqr_mod.ILQRConfig(
+            horizon=cfg.horizon, n_iterations=cfg.n_ilqr_iters,
+            reg_init=cfg.ilqr_reg, line_search_steps=cfg.ilqr_line_search,
+            parallel_backward=cfg.parallel_backward, use_fd=cfg.ilqr_fd,
+        )
+        quads = ilqr_mod.gauss_newton_quadratics(self._ilqr_residual)
+
+        def solve_batch(env_states, mpcs: MPCState):
+            keys = jax.vmap(jax.random.split)(mpcs.rng)  # (B, 2, key)
+            rngs, k_noise = keys[:, 0], keys[:, 1]
+            means, metrics = mppi_mod.mppi_step_batch(
+                mppi_cfg, self.plan_rollout_return, env_states, mpcs.us, k_noise
+            )
+
+            if cfg.n_ilqr_iters > 0:
+                def refine(env_state, mean):
+                    x0 = self._to_x(env_state)
+                    sol = ilqr_mod.solve(
+                        ilqr_cfg, self._ilqr_dynamics, self._ilqr_cost,
+                        self._ilqr_terminal, x0, mean, quadratics=quads,
+                    )
+                    ok = jnp.all(jnp.isfinite(sol.us))
+                    return jnp.where(ok, jnp.clip(sol.us, -1.0, 1.0), mean), sol.cost, ok
+
+                us, ilqr_cost, ok = jax.vmap(refine)(env_states, means)
+                metrics = dict(metrics, ilqr_cost=ilqr_cost, ilqr_accepted=ok)
+            else:
+                us = means
+
+            actions = us[:, 0]
+            shifted = jnp.concatenate(
+                [us[:, 1:], jnp.zeros((us.shape[0], 1, us.shape[-1]), dtype=us.dtype)], axis=1
+            )
+            return actions, MPCState(us=shifted, rng=rngs), metrics
+
+        return solve_batch
 
 
 # -----------------------------------------------------------------------------

@@ -326,6 +326,8 @@ def make_vel_solver(nv, ntot, K, ne, iters, power_iters, dt_step):
     update for one substep. A custom_vmap function: batched calls on TPU hit
     the Pallas kernel; unbatched / non-TPU calls run the XLA path."""
 
+    _flat_cache = []
+
     @custom_vmap
     def solve_inner(M, JfT, aref, qfrc_smooth, qvel, damping, reg3, mu, active):
         return _vel_update_xla(M, JfT, aref, qfrc_smooth, qvel, damping, reg3,
@@ -339,8 +341,14 @@ def make_vel_solver(nv, ntot, K, ne, iters, power_iters, dt_step):
 
         args = [bc(a, b) for a, b in zip(batched_args, in_batched)]
         if jax.default_backend() == "tpu":
-            out = _pallas_solver(nv, ntot, K, ne, iters, power_iters, dt_step,
-                                 str(args[0].dtype))(*args)
+            if not _flat_cache:
+                from robosuite_tpu.ops.vmap_flat import flat_batched
+
+                _flat_cache.append(flat_batched(
+                    _pallas_solver(nv, ntot, K, ne, iters, power_iters, dt_step,
+                                   str(args[0].dtype))
+                ))
+            out = _flat_cache[0](*args)
         else:
             out = jax.vmap(
                 lambda *a: _vel_update_xla(*a, K, ne, iters, power_iters, dt_step)

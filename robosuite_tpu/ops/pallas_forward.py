@@ -575,6 +575,8 @@ def make_forward_solver(model):
         bias = dynamics.rnea_bias(m, kin, qvel)
         return kin, M, bias
 
+    _flat_cache = []
+
     @custom_vmap
     def fp_inner(qpos, qvel, mass, inertia, gravity, armature):
         return _xla(qpos, qvel, mass, inertia, gravity, armature)
@@ -586,7 +588,11 @@ def make_forward_solver(model):
 
         args = [bc(a, b) for a, b in zip(args, in_batched)]
         if jax.default_backend() == "tpu":
-            out = _pallas_forward(model)(*args)
+            if not _flat_cache:
+                from robosuite_tpu.ops.vmap_flat import flat_batched
+
+                _flat_cache.append(flat_batched(_pallas_forward(model)))
+            out = _flat_cache[0](*args)
         else:
             out = jax.vmap(_xla)(*args)
         return out, jax.tree_util.tree_map(lambda _: True, out)

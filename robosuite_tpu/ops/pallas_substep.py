@@ -398,6 +398,66 @@ _LANE_DISPATCH = {
 }
 
 
+def _fk_pose_lane(model, q, one, zero):
+    """Pose-only FK on lanes (the FK section of forward_lane_body without
+    motion subspaces) — used for the POST-step aux outputs (site/body poses,
+    per-pair distances) so planning rollouts need no separate forward-
+    products call per planned step. Mirrors kinematics.fk."""
+    from robosuite_tpu.ops.pallas_forward import _quat_rot
+
+    nb = model.nbody
+    body_pos = np.asarray(model.body_pos, dtype=np.float32)
+    body_quat = np.asarray(model.body_quat, dtype=np.float32)
+    jnt_pos = np.asarray(model.jnt_pos, dtype=np.float32)
+    jnt_axis = np.asarray(model.jnt_axis, dtype=np.float32)
+    qpos0 = np.asarray(model.qpos0, dtype=np.float32)
+
+    def const3(arr):
+        return (arr[0] * one, arr[1] * one, arr[2] * one)
+
+    def const4(arr):
+        return (arr[0] * one, arr[1] * one, arr[2] * one, arr[3] * one)
+
+    xpos = [None] * nb
+    xquat = [None] * nb
+    xpos[0] = (zero, zero, zero)
+    xquat[0] = (one, zero, zero, zero)
+    for b in range(1, nb):
+        p = model.body_parentid[b]
+        pos = _add(xpos[p], _quat_rot(xquat[p], const3(body_pos[b])))
+        quat = _quat_mul(xquat[p], const4(body_quat[b]))
+        jadr, jnum = model.body_jntadr[b], model.body_jntnum[b]
+        for kk in range(jnum):
+            j = jadr + kk
+            jt = model.jnt_type[j]
+            qadr = model.jnt_qposadr[j]
+            if jt == S.FREE:
+                pos = (q[qadr], q[qadr + 1], q[qadr + 2])
+                qw, qx, qy, qz = q[qadr + 3], q[qadr + 4], q[qadr + 5], q[qadr + 6]
+                inv_n = jax.lax.rsqrt(qw * qw + qx * qx + qy * qy + qz * qz + 1e-12)
+                quat = (qw * inv_n, qx * inv_n, qy * inv_n, qz * inv_n)
+            elif jt == S.BALL:
+                anchor = _add(pos, _quat_rot(quat, const3(jnt_pos[j])))
+                qw, qx, qy, qz = q[qadr], q[qadr + 1], q[qadr + 2], q[qadr + 3]
+                inv_n = jax.lax.rsqrt(qw * qw + qx * qx + qy * qy + qz * qz + 1e-12)
+                quat = _quat_mul(quat, (qw * inv_n, qx * inv_n, qy * inv_n, qz * inv_n))
+                pos = _sub(anchor, _quat_rot(quat, const3(jnt_pos[j])))
+            elif jt == S.SLIDE:
+                axis_w = _quat_rot(quat, const3(jnt_axis[j]))
+                pos = _add(pos, _scale(q[qadr] - qpos0[qadr], axis_w))
+            else:  # HINGE
+                axis_w = _quat_rot(quat, const3(jnt_axis[j]))
+                anchor = _add(pos, _quat_rot(quat, const3(jnt_pos[j])))
+                half = 0.5 * (q[qadr] - qpos0[qadr])
+                c, s = jnp.cos(half), jnp.sin(half)
+                lq = (c, s * jnt_axis[j][0], s * jnt_axis[j][1], s * jnt_axis[j][2])
+                quat = _quat_mul(quat, lq)
+                pos = _sub(anchor, _quat_rot(quat, const3(jnt_pos[j])))
+        xpos[b] = pos
+        xquat[b] = quat
+    return xpos, xquat
+
+
 def _select_deepest(cands, k):
     """Tournament top-k by depth on lane tuples (matches lax.top_k(-d, k):
     deepest first, earliest index on ties)."""
@@ -436,7 +496,8 @@ def _tree_static(model):
     return anc
 
 
-def _make_substep_kernel(model, spec: FusedSpec, solver_iters: int, power_iters: int):
+def _make_substep_kernel(model, spec: FusedSpec, solver_iters: int, power_iters: int,
+                         emit_aux: bool = False):
     from robosuite_tpu.ops.pallas_contact import _chol_rows, _chol_solve_vec, constrained_vel_lanes
     from robosuite_tpu.physics import contact as C
 
@@ -486,9 +547,15 @@ def _make_substep_kernel(model, spec: FusedSpec, solver_iters: int, power_iters:
     eef_dofs = [d for d in range(nv) if anc[eef_body, d]]
     cen_dofs = [d for d in range(nv) if anc[cen_body, d]]
 
+    nsite = model.nsite
+    site_pos_c = np.asarray(model.site_pos, dtype=np.float32) if nsite else None
+    site_quat_c = np.asarray(model.site_quat, dtype=np.float32) if nsite else None
+    geom_pos_c = np.asarray(model.geom_pos, dtype=np.float32)
+    geom_quat_c = np.asarray(model.geom_quat, dtype=np.float32)
+
     def kernel(qpos_ref, qvel_ref, mass_ref, inertia_ref, grav_ref, arma_ref,
                despos_ref, desori_ref, kp_ref, kd_ref, grip_ref,
-               qpos_out, qvel_out, f_out):
+               qpos_out, qvel_out, f_out, *aux_out):
         dtype = qpos_ref.dtype
         q = [qpos_ref[i] for i in range(nq)]
         qd = [qvel_ref[i] for i in range(nv)]
@@ -826,6 +893,56 @@ def _make_substep_kernel(model, spec: FusedSpec, solver_iters: int, power_iters:
         qvel_out[...] = jnp.stack(qvel_new)
         f_out[...] = f
 
+        if emit_aux:
+            # POST-step aux: pose-only FK on the integrated qpos, site/body
+            # poses + per-pair min distances. Feeds the planning rollout's
+            # next set_goals and this step's reward without a separate
+            # forward-products kernel call. (The unused pos/normal math in
+            # the reused narrowphase primitives is DCE'd at lowering.)
+            sx_out, sm_out, bx_out, pd_out = aux_out
+            xpos2, xquat2 = _fk_pose_lane(model, q_out, one, zero)
+            xmat2 = {}
+
+            def bmat(b):
+                if b not in xmat2:
+                    xmat2[b] = _quat2mat(xquat2[b])
+                return xmat2[b]
+
+            def c3(arr):
+                return (arr[0] * one, arr[1] * one, arr[2] * one)
+
+            def c4(arr):
+                return (arr[0] * one, arr[1] * one, arr[2] * one, arr[3] * one)
+
+            from robosuite_tpu.ops.pallas_forward import _quat_rot
+
+            for s_i in range(nsite):
+                b = model.site_bodyid[s_i]
+                sp2 = _add(xpos2[b], _quat_rot(xquat2[b], c3(site_pos_c[s_i])))
+                sR2 = _quat2mat(_quat_mul(xquat2[b], c4(site_quat_c[s_i])))
+                for i in range(3):
+                    sx_out[s_i * 3 + i] = sp2[i]
+                    for jj in range(3):
+                        sm_out[s_i * 9 + i * 3 + jj] = sR2[i][jj]
+            for b in range(nb):
+                for i in range(3):
+                    bx_out[b * 3 + i] = xpos2[b][i]
+            for pi, p in enumerate(pairs):
+                g1, g2 = p["g1"], p["g2"]
+                b1g, b2g = model.geom_bodyid[g1], model.geom_bodyid[g2]
+                gp1 = _add(xpos2[b1g], _quat_rot(xquat2[b1g], c3(geom_pos_c[g1])))
+                gR1 = _quat2mat(_quat_mul(xquat2[b1g], c4(geom_quat_c[g1])))
+                gp2 = _add(xpos2[b2g], _quat_rot(xquat2[b2g], c3(geom_pos_c[g2])))
+                gR2 = _quat2mat(_quat_mul(xquat2[b2g], c4(geom_quat_c[g2])))
+                s1 = tuple(float(x) for x in geom_size[g1])
+                s2 = tuple(float(x) for x in geom_size[g2])
+                fn = _LANE_DISPATCH[p["types"]]
+                cands = fn(gp1, gR1, s1, gp2, gR2, s2)
+                dmin = cands[0][0]
+                for d_, _, _ in cands[1:]:
+                    dmin = jnp.minimum(dmin, d_)
+                pd_out[pi] = dmin
+
     return kernel, ntot
 
 
@@ -834,17 +951,22 @@ def _make_substep_kernel(model, spec: FusedSpec, solver_iters: int, power_iters:
 # ---------------------------------------------------------------------------
 
 
-def _pallas_substep(model, spec, solver_iters, power_iters):
+def _pallas_substep(model, spec, solver_iters, power_iters, emit_aux=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    nq, nv, nb = model.nq, model.nv, model.nbody
+    nq, nv, nb, nsite, npair = model.nq, model.nv, model.nbody, model.nsite, model.npair
     ng = max(len(spec.grip_actuators), 1)
-    kernel, ntot = _make_substep_kernel(model, spec, solver_iters, power_iters)
+    kernel, ntot = _make_substep_kernel(model, spec, solver_iters, power_iters,
+                                        emit_aux=emit_aux)
 
     def spec_(*dims):
         return pl.BlockSpec(dims + (LANES,), lambda i: (0,) * len(dims) + (i,),
                             memory_space=pltpu.VMEM)
+
+    out_rows = [nq, nv, ntot]
+    if emit_aux:
+        out_rows += [max(nsite * 3, 1), max(nsite * 9, 1), nb * 3, max(npair, 1)]
 
     @jax.jit
     def run(qpos, qvel, mass, inertia, gravity, armature, despos, desori, kp, kd, grip):
@@ -865,28 +987,37 @@ def _pallas_substep(model, spec, solver_iters, power_iters):
             grid=(Bp // LANES,),
             in_specs=[spec_(nq), spec_(nv), spec_(nb), spec_(nb, 3), spec_(3),
                       spec_(nv), spec_(3), spec_(9), spec_(6), spec_(6), spec_(ng)],
-            out_specs=(spec_(nq), spec_(nv), spec_(ntot)),
-            out_shape=(
-                jax.ShapeDtypeStruct((nq, Bp), qpos.dtype),
-                jax.ShapeDtypeStruct((nv, Bp), qpos.dtype),
-                jax.ShapeDtypeStruct((ntot, Bp), qpos.dtype),
+            out_specs=tuple(spec_(r) for r in out_rows),
+            out_shape=tuple(
+                jax.ShapeDtypeStruct((r, Bp), qpos.dtype) for r in out_rows
             ),
         )(*args)
 
         def unpack(x):
             return jnp.moveaxis(x, -1, 0)[:B]
 
-        return unpack(outs[0]), unpack(outs[1]), unpack(outs[2])
+        base = (unpack(outs[0]), unpack(outs[1]), unpack(outs[2]))
+        if not emit_aux:
+            return base
+        B_ = qpos.shape[0]
+        sx = unpack(outs[3]).reshape(B_, nsite, 3) if nsite else jnp.zeros((B_, 0, 3), qpos.dtype)
+        sm = unpack(outs[4]).reshape(B_, nsite, 3, 3) if nsite else jnp.zeros((B_, 0, 3, 3), qpos.dtype)
+        bx = unpack(outs[5]).reshape(B_, nb, 3)
+        pd = unpack(outs[6])[:, :npair]
+        return base + (sx, sm, bx, pd)
 
     return run
 
 
-def make_fused_substep(env, model, robot=None):
+def make_fused_substep(env, model, robot=None, emit_aux=False):
     """Build the fused substep callable for (env, model):
 
         substep(qpos, qvel, mass, inertia, gravity, armature,
                 desired_pos (3,), desired_ori (3,3), kp (6,), kd (6,),
                 grip_ctrl (ng,)) -> (qpos', qvel', f)
+        [emit_aux: ... -> (qpos', qvel', f, site_xpos', site_xmat', xpos',
+                           pair_dist') — POST-step poses + per-pair min
+         distances for planning rollouts that skip forward_products]
 
     Raises UnsupportedFused when the world/controller combination is not
     covered. custom_vmap: batched TPU calls run the megakernel; unbatched /
@@ -928,7 +1059,14 @@ def make_fused_substep(env, model, robot=None):
         if spec.grip_actuators:
             ctrl = ctrl.at[jnp.asarray(spec.grip_actuators)].set(grip[: len(spec.grip_actuators)])
         new_state, f = engine.integrate(m, st, ctrl, kin, M, bias, warm=1)
-        return new_state.qpos, new_state.qvel, f
+        if not emit_aux:
+            return new_state.qpos, new_state.qvel, f
+        from robosuite_tpu.physics import contact as Cm
+
+        kin2 = kinematics.fk(m, new_state.qpos)
+        pd = Cm.pair_min_dists(m, kin2)
+        return (new_state.qpos, new_state.qvel, f,
+                kin2.site_xpos, kin2.site_xmat, kin2.xpos, pd)
 
     pallas_run_cache = []
 
@@ -944,20 +1082,25 @@ def make_fused_substep(env, model, robot=None):
         args = [bc(a, b) for a, b in zip(args, in_batched)]
         if jax.default_backend() == "tpu":
             if not pallas_run_cache:
-                pallas_run_cache.append(
-                    _pallas_substep(model, spec, solver_iters, power_iters)
-                )
-            # kernel takes desori flattened (9,) and grip padded to ng
-            qpos, qvel, mass, inertia, gravity, armature, despos, desori, kp, kd, grip = args
-            desori_f = desori.reshape(desori.shape[0], 9)
-            if grip.shape[-1] < ng:
-                grip = jnp.pad(grip, [(0, 0), (0, ng - grip.shape[-1])])
-            out = pallas_run_cache[0](
-                qpos, qvel, mass, inertia, gravity, armature, despos, desori_f, kp, kd, grip
-            )
+                from robosuite_tpu.ops.vmap_flat import flat_batched
+
+                pallas_run = _pallas_substep(model, spec, solver_iters, power_iters,
+                                             emit_aux=emit_aux)
+
+                def run_flat(qpos, qvel, mass, inertia, gravity, armature,
+                             despos, desori, kp, kd, grip):
+                    # kernel takes desori flattened (9,), grip padded to ng
+                    desori_f = desori.reshape(desori.shape[0], 9)
+                    if grip.shape[-1] < ng:
+                        grip = jnp.pad(grip, [(0, 0), (0, ng - grip.shape[-1])])
+                    return pallas_run(qpos, qvel, mass, inertia, gravity,
+                                      armature, despos, desori_f, kp, kd, grip)
+
+                pallas_run_cache.append(flat_batched(run_flat))
+            out = pallas_run_cache[0](*args)
         else:
             out = jax.vmap(_xla)(*args)
-        return out, (True, True, True)
+        return out, (True,) * len(out)
 
     @jax.custom_jvp
     def sub(qpos, qvel, mass, inertia, gravity, armature, despos, desori, kp, kd, grip):

@@ -559,6 +559,17 @@ def _impedance(solimp, x):
     return d0 + y * (dmax - d0)
 
 
+def pair_min_dists(model, kin):
+    """(npair,) min narrowphase distance per candidate pair (after manifold
+    reduction) — the XLA analog of the fused substep kernel's pair-distance
+    aux output; feeds KinData.pair_dist for compaction-free contact queries."""
+    con = narrowphase(model, kin)
+    layout = contact_row_layout(model)
+    return jnp.stack([
+        jnp.min(con["dist"][jnp.asarray(layout[k])]) for k in range(model.npair)
+    ])
+
+
 def contact_warmstart_dim(model):
     """Length of the solver's flat force vector for this model (static):
     3*K cone rows + bilateral equality rows."""

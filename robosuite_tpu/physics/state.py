@@ -62,3 +62,7 @@ class KinData:
     geom_xmat: Any  # (ngeom, 3, 3)
     site_xpos: Any  # (nsite, 3)
     site_xmat: Any  # (nsite, 3, 3)
+    # optional precomputed per-pair min narrowphase distance (npair,) —
+    # carried by the fused planning rollout's kin-lite so contact queries
+    # (grasp checks) skip re-running narrowphase (envs/base.py _any_contact)
+    pair_dist: Any = None
