@@ -61,7 +61,7 @@ def bench_env_steps(env):
     return BATCH * N_STEPS / dt
 
 
-def bench_mpc_solves(env):
+def bench_mpc_solves(env, n_ilqr_iters):
     import jax
     import jax.numpy as jnp
 
@@ -69,7 +69,7 @@ def bench_mpc_solves(env):
 
     cfg = receding.MPCConfig(
         horizon=64, n_samples=32, noise_sigma=0.4, temperature=0.2,
-        n_knots=8, n_ilqr_iters=0, plan_timestep=0.025,
+        n_knots=8, n_ilqr_iters=n_ilqr_iters, plan_timestep=0.025,
     )
     mpc = receding.RecedingMPC(env, cfg)
     solve_batch = mpc.make_solve_batch()
@@ -110,15 +110,19 @@ def main():
     )
 
     steps_per_s = bench_env_steps(env)
-    solves_per_s = bench_mpc_solves(env)
+    mppi_solves_per_s = bench_mpc_solves(env, n_ilqr_iters=0)
+    # the BASELINE workload sentence includes iLQR refinement: the headline
+    # number is the FULL MPPI + 1-iLQR-iteration solve rate
+    solves_per_s = bench_mpc_solves(env, n_ilqr_iters=1)
 
     print(
         json.dumps(
             {
                 "metric": "lift_panda_mpc_solves_per_s",
                 "value": round(solves_per_s, 1),
-                "unit": "MPC solves/s (H=64, K=32, 1 chip; target 512/chip)",
+                "unit": "MPC solves/s (H=64, K=32, MPPI + 1 iLQR iter, 1 chip; target 512/chip)",
                 "vs_baseline": round(solves_per_s / MPC_TARGET_PER_CHIP, 3),
+                "mppi_only_solves_per_s": round(mppi_solves_per_s, 1),
                 "env_steps_per_s": round(steps_per_s, 1),
                 "env_steps_vs_ref_cpu": round(steps_per_s / REF_CPU_STEPS_PER_S, 2),
             }

@@ -23,6 +23,8 @@ from typing import Any, Tuple
 
 import jax.numpy as jnp
 
+from robosuite_tpu.ops import linalg as fastla
+
 
 @dataclasses.dataclass(frozen=True)
 class WBIKConfig:
@@ -70,14 +72,14 @@ def wbik_solve(cfg: WBIKConfig, J, q, q0, site_pos, site_mat, target_pos, target
 
     m = twist.shape[0]
     JJt = J @ J.T + (cfg.damping ** 2) * jnp.eye(m, dtype=J.dtype)
-    dq = J.T @ jnp.linalg.solve(JJt, twist)
+    dq = J.T @ fastla.solve_spd(JJt, twist)
 
     # nullspace posture: project Kn*(q0 - q) onto null(J). The reference
     # uses an exact pinv here (ik_utils.py:313); the damped projector is
     # numerically safer and identical away from singularities.
     Kn = jnp.asarray(cfg.nullspace_gains, dtype=J.dtype) if cfg.nullspace_gains else jnp.ones(n, dtype=J.dtype)
     dq_posture = Kn * (q0 - q)
-    dq_null = dq_posture - J.T @ jnp.linalg.solve(JJt, J @ dq_posture)
+    dq_null = dq_posture - J.T @ fastla.solve_spd(JJt, J @ dq_posture)
     dq = dq + dq_null
 
     if cfg.max_dq > 0:

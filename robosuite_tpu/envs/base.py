@@ -66,6 +66,8 @@ class EnvState:
     t: Any          # policy step count
     rng: Any        # jax PRNG key
     task_state: Any = None  # per-env extra state (e.g. Wipe's wiped markers)
+    obs_cache: Any = None   # Observable pipeline cache (delay/sampling-rate
+                            # stale values, observables.compute_observables)
 
 
 class RobotEnv:
@@ -199,6 +201,73 @@ class RobotEnv:
         """Return qpos updates for object placement: (idx, values) or None."""
         return None
 
+    # -- observable pipeline ---------------------------------------------------
+    # The reference runs every observation through a declarative
+    # corrupter -> filter -> delay pipeline and aggregates per modality into
+    # "<modality>-state" vectors (utils/observables.py:157-259,
+    # environments/base.py:429-465). Here the pipeline post-processes the
+    # env's raw obs dict: each raw key gets a default Observable (clean
+    # passthrough), overridable per key via `modify_observable`.
+
+    def _default_modality(self, key):
+        if key.endswith("_image") or key.endswith("_depth"):
+            return None  # camera obs bypass the pipeline
+        if key in ("placement_valid",):
+            return None
+        for i in range(len(self.robots)):
+            if key.startswith(f"robot{i}_"):
+                return f"robot{i}_proprio"
+        return "object"
+
+    def modify_observable(self, name, **overrides):
+        """Override pipeline stages for one observable (reference
+        environments/base.py modify_observable): corrupter=, filter=,
+        delay=, update_every=, enabled=, active=. Takes effect on the next
+        trace (call before stepping, or re-jit via _refresh_jit)."""
+        if not hasattr(self, "_obs_overrides"):
+            self._obs_overrides = {}
+        self._obs_overrides.setdefault(name, {}).update(overrides)
+        self._refresh_jit()
+
+    def _observables_for(self, raw_keys):
+        from robosuite_tpu.observables import Observable, sensor
+
+        overrides = getattr(self, "_obs_overrides", {})
+        specs = []
+        for k in raw_keys:
+            modality = self._default_modality(k)
+            if modality is None:
+                continue
+            ov = overrides.get(k, {})
+
+            def make_sensor(key, mod):
+                def fn(ctx):
+                    return ctx[key]
+
+                fn.__modality__ = mod
+                return fn
+
+            specs.append(Observable(
+                name=k, sensor=make_sensor(k, modality),
+                corrupter=ov.get("corrupter"), filter=ov.get("filter"),
+                delay=ov.get("delay", 0), update_every=ov.get("update_every", 1),
+                enabled=ov.get("enabled", True), active=ov.get("active", True),
+            ))
+        return specs
+
+    def _finalize_observations(self, obs, rng, t, cache=None):
+        """Run the Observable pipeline over the raw obs dict; adds
+        '<modality>-state' aggregation keys (robot0_proprio-state,
+        object-state — the reference obs-dict contract)."""
+        from robosuite_tpu.observables import compute_observables
+
+        specs = self._observables_for(list(obs.keys()))
+        piped, new_cache = compute_observables(specs, obs, rng, t, cache=cache)
+        out = dict(obs)
+        out.update(piped)
+        needs_cache = any(s.delay > 0 or s.update_every > 1 for s in specs)
+        return out, (new_cache if needs_cache else None)
+
     def _get_observations(self, physics_state, kin):
         return {}
 
@@ -265,6 +334,100 @@ class RobotEnv:
         con = cmod.narrowphase(self.model, kin, pairs=pairs)
         return jnp.any(con["dist"] < 0.0)
 
+    def _subtree_bodies(self, root_body):
+        """Static list of body ids in root_body's subtree (inclusive)."""
+        m = self.model
+        out = []
+        for b in range(m.nbody):
+            k = b
+            while True:
+                if k == root_body:
+                    out.append(b)
+                    break
+                if k == 0:
+                    break
+                k = m.body_parentid[k]
+        return out
+
+    def _wrench_rows(self, subtree):
+        """Static (row, sign) list: contact rows with exactly one side in
+        `subtree`; sign +1 when body2 is the subtree side (row force acts
+        ON the subtree along +normal)."""
+        from robosuite_tpu.physics import contact as cmod
+
+        sub = set(subtree)
+        layout = cmod.contact_row_layout(self.model)
+        m = self.model
+        out = []
+        for k in range(m.npair):
+            b1 = int(m.geom_bodyid[m.pair_geom1[k]])
+            b2 = int(m.geom_bodyid[m.pair_geom2[k]])
+            if (b1 in sub) == (b2 in sub):
+                continue
+            sign = 1.0 if b2 in sub else -1.0
+            for r in layout[k]:
+                out.append((r, sign, k))
+        return out
+
+    def eef_contact_wrench(self, kin, f, robot_idx, arm):
+        """(force (3,), torque (3,)) of contact forces on the gripper
+        subtree about the eef site — the analog of the reference's
+        eef force/torque sensors (robots/robot.py:795-814, mounted MuJoCo
+        F/T sensor). Computed from the contact solver's force vector `f`
+        (last substep) with row geometry from the end-of-step narrowphase;
+        gravity/inertial transmission is not included (contact forces are
+        the operative term for force-limit logic — Wipe's thresholds)."""
+        from robosuite_tpu.physics import contact as cmod
+
+        robot = self.robots[robot_idx]
+        site = robot.eef_site_id[arm]
+        site_body = int(self.model.site_bodyid[site])
+        key = (robot_idx, arm)
+        if not hasattr(self, "_wrench_rows_cache"):
+            self._wrench_rows_cache = {}
+        if key not in self._wrench_rows_cache:
+            # subtree root = highest gripper-prefixed ancestor of the eef
+            # body (the eef site sits on a leaf; finger bodies are siblings)
+            m = self.model
+            root = site_body
+            k = site_body
+            while k != 0:
+                if m.body_names[k].startswith(f"gripper{robot_idx}_"):
+                    root = k
+                k = m.body_parentid[k]
+            sub = self._subtree_bodies(root)
+            self._wrench_rows_cache[key] = self._wrench_rows(sub)
+        rows = self._wrench_rows_cache[key]
+        zero = jnp.zeros(3, dtype=kin.site_xpos.dtype)
+        if not rows or f is None or f.shape[0] == 0:
+            return zero, zero
+        R = sum(len(v) for v in cmod.contact_row_layout(self.model).values())
+        pairs = sorted({k for _, _, k in rows})
+        con = cmod.narrowphase(self.model, kin, pairs=pairs)
+        # map full-buffer row index -> subset row index
+        sub_layout = {}
+        i = 0
+        full_layout = cmod.contact_row_layout(self.model)
+        for k in sorted(pairs, key=lambda k: full_layout[k][0]):
+            for r in full_layout[k]:
+                sub_layout[r] = i
+                i += 1
+        ridx = np.array([sub_layout[r] for r, _, _ in rows], dtype=np.int32)
+        fidx = np.array([r for r, _, _ in rows], dtype=np.int32)
+        signs = jnp.asarray(np.array([s for _, s, _ in rows], dtype=np.float32))
+        n = con["normal"][ridx]
+        t1 = con["t1"][ridx]
+        t2 = con["t2"][ridx]
+        pos = con["pos"][ridx]
+        fw = (
+            n * f[fidx][:, None]
+            + t1 * f[R + fidx][:, None]
+            + t2 * f[2 * R + fidx][:, None]
+        ) * signs[:, None]
+        force = jnp.sum(fw, axis=0)
+        torque = jnp.sum(jnp.cross(pos - kin.site_xpos[site][None, :], fw), axis=0)
+        return force, torque
+
     def check_grasp(self, kin, left_rows, right_rows):
         """Both fingerpads touching the object (manipulation_env.py:331-376)."""
         return self._any_contact(kin, left_rows) & self._any_contact(kin, right_rows)
@@ -325,14 +488,33 @@ class RobotEnv:
     def _reset_impl(self, rng):
         qpos, rng = self._initial_qpos(rng)
         placement = self._sample_placements(rng)
+        placement_valid = jnp.asarray(True)
         if placement is not None:
-            idx, vals, rng = placement
+            if len(placement) == 4:
+                idx, vals, rng, placement_valid = placement
+            else:
+                idx, vals, rng = placement
             qpos = qpos.at[idx].set(vals)
         physics = State(qpos=qpos, qvel=jnp.zeros(self.model.nv, dtype=qpos.dtype), time=jnp.asarray(0.0, dtype=qpos.dtype))
         kin, M, bias = engine.forward_products(self.model, physics)
         ctrl_states = [r.init_ctrl_state(kin, M, bias, physics.qpos, physics.qvel) for r in self.robots]
         state = EnvState(physics=physics, ctrl=self._pack_ctrl(ctrl_states), t=jnp.asarray(0, dtype=jnp.int32), rng=rng)
         obs = self._get_observations(physics, kin)
+        # eef F/T observables exist from reset (zero contact forces) so the
+        # reset/step obs dicts share one key set (gym space consistency)
+        f0 = engine.warmstart_zeros(self.model, dtype=qpos.dtype)
+        for i, r in enumerate(self.robots):
+            for arm in r.arms:
+                fo, to = self.eef_contact_wrench(kin, f0, i, arm)
+                prefix = f"robot{i}_" + ("" if arm == "right" or len(r.arms) == 1 else f"{arm}_")
+                obs[f"{prefix}eef_force"] = fo
+                obs[f"{prefix}eef_torque"] = to
+        # all-candidates-invalid placement draw (reference would raise
+        # RandomizationError, placement_samplers.py:274-309)
+        obs["placement_valid"] = placement_valid
+        rng_obs, rng_next = jax.random.split(state.rng)
+        obs, obs_cache = self._finalize_observations(obs, rng_obs, state.t)
+        state = state.replace(rng=rng_next, obs_cache=obs_cache)
         if self.use_camera_obs:
             obs.update(self._camera_observations(kin))
         return state, obs
@@ -495,6 +677,14 @@ class RobotEnv:
 
         return rollout_return
 
+    def _fused_f_zeros(self, model, dtype):
+        """Zero solver-force carry for the fused substep (3 rows per capped
+        contact point; the fused path requires neq == 0)."""
+        from robosuite_tpu.physics import contact as cmod
+
+        R = sum(len(v) for v in cmod.contact_row_layout(model).values())
+        return jnp.zeros(3 * R, dtype=dtype)
+
     def _fused_substep_fn(self, model, ctrl_states, kin):
         """Substep closure using the fused megakernel, or None. Resolves the
         tick-rate quantities (world-frame OSC goal, gripper actuator ctrl)
@@ -517,16 +707,52 @@ class RobotEnv:
             grip = jnp.zeros(1, dtype=op.dtype)
         dt = model.timestep
 
-        def substep(phys, k):
+        def substep(carry, k):
+            phys, _f_prev = carry
             despos, desori = osc_mod.desired_world_pose(cfg, ostate, op, oR, k)
-            qpos2, qvel2, _f = fused(
+            qpos2, qvel2, f = fused(
                 phys.qpos, phys.qvel, model.body_mass, model.body_inertia,
                 model.gravity, model.dof_armature, despos, desori,
                 ostate.kp, ostate.kd, grip,
             )
-            return phys.replace(qpos=qpos2, qvel=qvel2, time=phys.time + dt), ()
+            return (phys.replace(qpos=qpos2, qvel=qvel2, time=phys.time + dt), f), ()
 
         return substep
+
+    def make_plan_dynamics(self, model, n_substeps):
+        """Lean dynamics step(state, action) -> state for MPC linearization
+        (iLQR FD/jacfwd): set_goals + substeps, NO reward / end-of-step
+        forward products — those were ~a third of every finite-difference
+        evaluation and their results are discarded by the linearizer."""
+
+        def dyn(state, action):
+            action = jnp.clip(action, *self._action_clip)
+            physics = state.physics
+            kin, M, bias = engine.forward_products(model, physics)
+            ctrl_states = self._unpack_ctrl(state.ctrl)
+            robot_actions = self._split_robot_actions(action)
+            ctrl_states = [
+                r.set_goals(kin, M, bias, physics.qpos, physics.qvel, cs, a)
+                for r, cs, a in zip(self.robots, ctrl_states, robot_actions)
+            ]
+            packed = self._pack_ctrl(ctrl_states)
+            substep = self._fused_substep_fn(model, ctrl_states, kin)
+            if substep is None:
+                def substep(carry, k):
+                    phys, _f = carry
+                    kin, M, bias = engine.forward_products(model, phys)
+                    ctrl = jnp.zeros(model.nu, dtype=phys.qpos.dtype)
+                    for r, cs in zip(self.robots, ctrl_states):
+                        ctrl = r.run_controllers(kin, M, bias, phys.qpos, phys.qvel, cs, ctrl, substep=k)
+                    phys2, f = engine.integrate(model, phys, ctrl, kin, M, bias, warm=1)
+                    return (phys2, f), ()
+                f0 = engine.warmstart_zeros(model, dtype=physics.qpos.dtype)
+            else:
+                f0 = self._fused_f_zeros(model, physics.qpos.dtype)
+            (physics, _), _ = jax.lax.scan(substep, (physics, f0), jnp.arange(n_substeps))
+            return EnvState(physics=physics, ctrl=packed, t=state.t + 1, rng=state.rng)
+
+        return dyn
 
     def _step_impl(self, state: EnvState, action, model=None):
         action = jnp.clip(action, *self._action_clip)
@@ -546,25 +772,43 @@ class RobotEnv:
 
         substep = self._fused_substep_fn(model, ctrl_states, kin)
         if substep is None:
-            def substep(phys, k):
+            def substep(carry, k):
+                phys, _f = carry
                 kin, M, bias = engine.forward_products(model, phys)
                 ctrl = jnp.zeros(model.nu, dtype=phys.qpos.dtype)
                 for r, cs in zip(self.robots, ctrl_states):
                     ctrl = r.run_controllers(kin, M, bias, phys.qpos, phys.qvel, cs, ctrl, substep=k)
-                return engine.integrate(model, phys, ctrl, kin, M, bias), ()
+                phys2, f = engine.integrate(model, phys, ctrl, kin, M, bias, warm=1)
+                return (phys2, f), ()
+            f0 = engine.warmstart_zeros(model, dtype=physics.qpos.dtype)
+        else:
+            f0 = self._fused_f_zeros(model, physics.qpos.dtype)
 
         # cold-start contact solve per substep: threading the warm start
-        # through the carry measured slower on v5e (see engine.step_n note)
-        physics, _ = jax.lax.scan(substep, physics, jnp.arange(self.n_substeps))
+        # through the carry measured slower on v5e (see engine.step_n note);
+        # the carry's f is the LAST substep's solver forces, feeding the
+        # eef force/torque observables below
+        (physics, f_last), _ = jax.lax.scan(substep, (physics, f0), jnp.arange(self.n_substeps))
 
         kin, _, _ = engine.forward_products(model, physics)
         obs = self._get_observations(physics, kin)
+        # eef force/torque observables (reference fixed_base_robot.py:155-177
+        # recent_ee_forcetorques; robot.py:795-814 F/T sensors)
+        for i, r in enumerate(self.robots):
+            for arm in r.arms:
+                fo, to = self.eef_contact_wrench(kin, f_last, i, arm)
+                prefix = f"robot{i}_" + ("" if arm == "right" or len(r.arms) == 1 else f"{arm}_")
+                obs[f"{prefix}eef_force"] = fo
+                obs[f"{prefix}eef_torque"] = to
+        rng_obs, rng_next = jax.random.split(state.rng)
+        obs, obs_cache = self._finalize_observations(obs, rng_obs, state.t, cache=state.obs_cache)
         if self.use_camera_obs:
             obs.update(self._camera_observations(kin))
         reward = self.reward(obs, physics, kin)
         t = state.t + 1
         done = t >= self.horizon
-        new_state = EnvState(physics=physics, ctrl=packed, t=t, rng=state.rng)
+        new_state = EnvState(physics=physics, ctrl=packed, t=t, rng=rng_next,
+                             obs_cache=obs_cache)
         return new_state, obs, reward, done, {}
 
     def _rollout_impl(self, state: EnvState, action, model=None, n_substeps=None):
@@ -601,14 +845,19 @@ class RobotEnv:
 
         substep = self._fused_substep_fn(model, ctrl_states, kin)
         if substep is None:
-            def substep(phys, k):
+            def substep(carry, k):
+                phys, _f = carry
                 kin, M, bias = engine.forward_products(model, phys)
                 ctrl = jnp.zeros(model.nu, dtype=phys.qpos.dtype)
                 for r, cs in zip(self.robots, ctrl_states):
                     ctrl = r.run_controllers(kin, M, bias, phys.qpos, phys.qvel, cs, ctrl, substep=k)
-                return engine.integrate(model, phys, ctrl, kin, M, bias), ()
+                phys2, f = engine.integrate(model, phys, ctrl, kin, M, bias, warm=1)
+                return (phys2, f), ()
+            f0 = engine.warmstart_zeros(model, dtype=physics.qpos.dtype)
+        else:
+            f0 = self._fused_f_zeros(model, physics.qpos.dtype)
 
-        physics, _ = jax.lax.scan(substep, physics, jnp.arange(n_substeps))
+        (physics, _f_last), _ = jax.lax.scan(substep, (physics, f0), jnp.arange(n_substeps))
         kin2, M2, bias2 = engine.forward_products(model, physics)
         reward = self.reward(None, physics, kin2)
         new_state = EnvState(physics=physics, ctrl=packed, t=state.t + 1, rng=state.rng)

@@ -15,13 +15,28 @@ check only (robot-link collision geometry is primitive-approximated).
 
 from __future__ import annotations
 
+from typing import Any
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from flax import struct
+
 from robosuite_tpu.envs.base import EnvState, RobotEnv, register_env
 from robosuite_tpu.models.arenas import WipeArena
 from robosuite_tpu.models.tasks import ManipulationTask
+
+
+@struct.dataclass
+class WipeTaskState:
+    """Per-scenario Wipe bookkeeping (the functional analog of the
+    reference's self.wiped_markers / self.collisions / self.f_excess
+    counters, wipe.py:268-269, 435, 485)."""
+
+    wiped: Any = None      # (num_markers,) bool
+    collisions: Any = 0    # int32 count of colliding/limit steps
+    f_excess: Any = 0      # int32 count of excess-force steps
 
 DEFAULT_WIPE_CONFIG = {
     "arm_limit_collision_penalty": -10.0,
@@ -48,8 +63,10 @@ class Wipe(RobotEnv):
         reward_scale=1.0,
         reward_shaping=True,
         seed=None,
+        early_terminations=True,
         **kwargs,
     ):
+        self.early_terminations = early_terminations
         self.task_config = dict(DEFAULT_WIPE_CONFIG)
         if task_config:
             self.task_config.update(task_config)
@@ -91,11 +108,20 @@ class Wipe(RobotEnv):
         tool_geoms = [name for name in m.geom_names if name.startswith("gripper0_right_")]
         self._tool_table_rows = self._contact_rows(tool_geoms, ["table_collision"])
         self.wipe_radius = self.arena.line_width / 2 + 0.05  # tool half-width approx
+        # arm-link collision rows (reference check_contact(robot_model),
+        # wipe.py:431-435): any contact involving a robot0_* (non-gripper)
+        # geom terminates/penalizes
+        arm_geoms = [n for n in m.geom_names if n.startswith("robot0_")]
+        other = [n for n in m.geom_names if not n.startswith("robot0_")]
+        self._arm_collision_rows = self._contact_rows(arm_geoms, other)
 
-    # task_state: (num_markers,) wiped flags
     def _reset_impl(self, rng):
         state, obs = super()._reset_impl(rng)
-        state = state.replace(task_state=jnp.zeros(self.num_markers, dtype=bool))
+        state = state.replace(task_state=WipeTaskState(
+            wiped=jnp.zeros(self.num_markers, dtype=bool),
+            collisions=jnp.asarray(0, dtype=jnp.int32),
+            f_excess=jnp.asarray(0, dtype=jnp.int32),
+        ))
         return state, obs
 
     def _marker_positions(self, kin):
@@ -115,19 +141,54 @@ class Wipe(RobotEnv):
         from robosuite_tpu.physics import engine
 
         kin, _, _ = engine.forward_products(self.model, new_state.physics)
-        wiped = state.task_state
-        if wiped is None:
-            wiped = jnp.zeros(self.num_markers, dtype=bool)
-        wiped, newly = self._wipe_update(kin, wiped)
-        reward = self._wipe_reward(new_state.physics, kin, wiped, newly)
-        new_state = new_state.replace(task_state=wiped)
+        ts = state.task_state
+        if ts is None or ts.wiped is None:
+            ts = WipeTaskState(
+                wiped=jnp.zeros(self.num_markers, dtype=bool),
+                collisions=jnp.asarray(0, dtype=jnp.int32),
+                f_excess=jnp.asarray(0, dtype=jnp.int32),
+            )
+        # unsafe situations: arm-link collision or joint limits (reference
+        # wipe.py:431-439 — they zero the reward and count a collision)
+        colliding = self._any_contact(kin, self._arm_collision_rows)
+        q_limit = self.robots[0].check_q_limits(new_state.physics.qpos)
+        unsafe = colliding | q_limit
+
+        total_force = jnp.linalg.norm(obs["robot0_eef_force"])
+        wiped, newly = self._wipe_update(kin, ts.wiped)
+        # wiping progress only counts in safe states
+        wiped = jnp.where(unsafe, ts.wiped, wiped)
+        newly = newly & ~unsafe
+        reward, f_over = self._wipe_reward(
+            new_state.physics, kin, wiped, newly, unsafe, total_force
+        )
+        ts = WipeTaskState(
+            wiped=wiped,
+            collisions=ts.collisions + unsafe.astype(jnp.int32),
+            f_excess=ts.f_excess + f_over.astype(jnp.int32),
+        )
+        new_state = new_state.replace(task_state=ts)
         obs["wiped_markers"] = wiped
+        success = jnp.all(wiped)
+        info = dict(info, nwipedmarkers=jnp.sum(wiped), colls=ts.collisions,
+                    percent_viapoints_=jnp.mean(wiped.astype(jnp.float32)),
+                    f_excess=ts.f_excess, total_force_ee=total_force)
+        if self.early_terminations:
+            # reference _check_terminated (wipe.py:707-737): collision,
+            # success, or joint limit ends the episode early
+            done = done | unsafe | success
         return new_state, obs, reward, done, info
 
-    def _wipe_reward(self, physics, kin, wiped, newly):
+    def _wipe_reward(self, physics, kin, wiped, newly, unsafe, total_force):
+        """Reference wipe.py:386-505 reward structure incl. the force
+        terms: excess-force penalty above pressure_threshold_max, pressing
+        reward in (pressure_threshold, pressure_threshold_max] while
+        touching, and the collision/limit branch that replaces ALL other
+        terms with arm_limit_collision_penalty."""
         cfg = self.task_config
         r = jnp.sum(newly) * cfg["unit_wiped_reward"]
         all_wiped = jnp.all(wiped)
+        f_over = total_force > cfg["pressure_threshold_max"]
         if self.reward_shaping:
             markers = self._marker_positions(kin)
             eef = kin.site_xpos[self.eef_site]
@@ -141,17 +202,30 @@ class Wipe(RobotEnv):
             reach = jnp.where(all_wiped, 0.0, reach)
             touching = self._any_contact(kin, self._tool_table_rows)
             r = r + reach + jnp.where(touching, cfg["wipe_contact_reward"], 0.0)
+            # force terms (reference wipe.py:483-493)
+            press = (total_force > cfg["pressure_threshold"]) & touching & ~f_over
+            r = r - jnp.where(f_over, cfg["excess_force_penalty_mul"] * total_force, 0.0)
+            r = r + jnp.where(press, cfg["wipe_contact_reward"] + 0.01 * total_force, 0.0)
         r = r + jnp.where(all_wiped, cfg["task_complete_reward"], 0.0)
+        if self.reward_shaping:
+            # the collision/limit branch replaces everything
+            r = jnp.where(unsafe, cfg["arm_limit_collision_penalty"], r)
+        else:
+            r = jnp.where(unsafe, 0.0, r)
         if self.reward_scale is not None:
             denom = (
                 self.num_markers * cfg["unit_wiped_reward"]
                 + self.horizon * (cfg["wipe_contact_reward"] + cfg["task_complete_reward"])
             )
             r = r * self.reward_scale * self.horizon / denom
-        return r
+        return r, f_over
 
-    def _check_success(self, physics, kin):
-        return jnp.asarray(False)  # success tracked via task_state in step
+    def _check_success(self, physics, kin, task_state=None):
+        """All markers wiped. Success lives in task_state (the wiped
+        flags); callers holding an EnvState pass state.task_state."""
+        if task_state is not None and getattr(task_state, "wiped", None) is not None:
+            return jnp.all(task_state.wiped)
+        return jnp.asarray(False)
 
     def _get_observations(self, physics, kin):
         from robosuite_tpu.utils import transforms as T

@@ -94,7 +94,9 @@ class RecedingMPC:
         )
         self.plan_substeps = max(1, int(round(1.0 / (env.control_freq * cfg.plan_timestep))))
         if residual is None:
-            residual = lift_residual
+            from robosuite_tpu.mpc.residuals import residual_for
+
+            residual = residual_for(env) or lift_residual
         self._residual = residual
 
         # template EnvState for (qpos, qvel, grip) <-> EnvState mapping:
@@ -143,7 +145,11 @@ class RecedingMPC:
         return self._plan_return_fn(env_state, seq, discounts)
 
     def _ilqr_dynamics(self, x, u):
-        es, _ = self.plan_rollout_step(self._to_env_state(x), u)
+        if not hasattr(self, "_plan_dyn_fn"):
+            self._plan_dyn_fn = self.env.make_plan_dynamics(
+                self.plan_model, self.plan_substeps
+            )
+        es = self._plan_dyn_fn(self._to_env_state(x), u)
         return self._to_x(es)
 
     def _ilqr_residual(self, x, u, t):

@@ -96,6 +96,17 @@ def extract_spec(env, model) -> FusedSpec:
     from robosuite_tpu.controllers.parts import osc as osc_mod
     from robosuite_tpu.robots.robot import FixedBaseRobot, MobileRobot
 
+    # domain randomization passes models with TRACED leaves; only
+    # mass/inertia/gravity/armature are runtime kernel inputs — anything
+    # else traced means the kernel's baked constants would be wrong
+    runtime_inputs = {"body_mass", "body_inertia", "gravity", "dof_armature"}
+    for fname in dataclasses.fields(type(model)):
+        if fname.name in runtime_inputs:
+            continue
+        leaf = getattr(model, fname.name)
+        if isinstance(leaf, jax.core.Tracer):
+            raise UnsupportedFused(f"traced model leaf {fname.name}")
+
     if model.ntendon:
         raise UnsupportedFused("tendons")
     if model.neq:

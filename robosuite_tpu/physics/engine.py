@@ -168,7 +168,24 @@ def forward_products(model, state: State):
     controller layer (mj_step1 analog) and the integrator.
 
     On TPU under vmap this runs as ONE fused Pallas kernel (FK + CRBA + RNEA
-    batch-minor, ops/pallas_forward.py); elsewhere the XLA reference path."""
+    batch-minor, ops/pallas_forward.py); elsewhere the XLA reference path.
+
+    mass/inertia/gravity/armature are runtime kernel inputs (domain
+    randomization passes them traced per scenario); any OTHER traced model
+    leaf (e.g. body_pos position perturbations) cannot ride the kernel's
+    baked constants, so those models take the plain XLA path."""
+    import dataclasses as _dc
+
+    runtime_inputs = {"body_mass", "body_inertia", "gravity", "dof_armature"}
+    for f in _dc.fields(type(model)):
+        if f.name in runtime_inputs:
+            continue
+        if isinstance(getattr(model, f.name), jax.core.Tracer):
+            kin = kinematics.fk(model, state.qpos)
+            M = dynamics.crba(model, kin)
+            bias = dynamics.rnea_bias(model, kin, state.qvel)
+            return kin, M, bias
+
     from robosuite_tpu.ops.pallas_forward import make_forward_solver
 
     fp = make_forward_solver(model)

@@ -468,6 +468,21 @@ class FixedBaseRobot:
                 ctrl = ctrl.at[self.gripper_actuator_ids[arm]].set(gctrl)
         return ctrl
 
+    def check_q_limits(self, qpos, tolerance=0.1):
+        """True when any arm joint is within `tolerance` of its range
+        (reference robots/robot.py:509-523)."""
+        hits = []
+        for arm in self.arms:
+            qp_i = self.arm_qpos_idx[arm]
+            jids = [int(self.model.dof_jntid[d]) for d in self.arm_qvel_idx[arm]]
+            lo = np.asarray(self.model.jnt_range)[jids, 0]
+            hi = np.asarray(self.model.jnt_range)[jids, 1]
+            limited = (lo != hi)
+            q = qpos[jnp.asarray(qp_i)]
+            near = ((q <= jnp.asarray(lo) + tolerance) | (q >= jnp.asarray(hi) - tolerance))
+            hits.append(jnp.any(near & jnp.asarray(limited)))
+        return jnp.any(jnp.stack(hits)) if hits else jnp.asarray(False)
+
     def gripper_ctrl(self, arm, ctrl_state: RobotCtrlState):
         """Actuator-space gripper ctrl values for the current tick's gripper
         action state, or None when the arm has no actuated gripper. Constant

@@ -48,16 +48,20 @@ def _axis_quat(axis: str, angle):
     return jnp.stack([c, z, z, s], axis=-1)
 
 
-def sample_placements(specs: List[PlacementSpec], rng, n_candidates: int = 16):
+def sample_placements(specs: List[PlacementSpec], rng, n_candidates: int = 64):
     """Sample non-overlapping placements for all objects sequentially
     (SequentialCompositeSampler semantics, reference :312-440).
 
-    Returns (qpos_indices (sum 7*n,), qpos_values, rng') for free-joint
-    objects: [x, y, z, qw, qx, qy, qz] each.
+    Returns (qpos_indices (sum 7*n,), qpos_values, rng', valid) for
+    free-joint objects: [x, y, z, qw, qx, qy, qz] each. `valid` is False
+    when some object had NO non-overlapping candidate (the reference raises
+    RandomizationError there, placement_samplers.py:274-309; a batched jit
+    reset surfaces the flag as obs['placement_valid'] instead).
     """
     placed_xy: List[jnp.ndarray] = []
     placed_r: List[float] = []
     idx_out, val_out = [], []
+    all_valid = jnp.asarray(True)
     for spec in specs:
         rng, kx, ky, kr = jax.random.split(rng, 4)
         lo_x, hi_x = spec.x_range
@@ -74,7 +78,12 @@ def sample_placements(specs: List[PlacementSpec], rng, n_candidates: int = 16):
             for oxy, orad in zip(placed_xy, placed_r):
                 d = jnp.sqrt((xs - oxy[0]) ** 2 + (ys - oxy[1]) ** 2)
                 ok = ok & (d > (orad + spec.horizontal_radius))
-            pick = jnp.argmax(ok)  # first valid; falls back to 0 if none
+            pick = jnp.argmax(ok)  # first valid
+            # the reference raises RandomizationError after 5000 rejected
+            # tries (placement_samplers.py:274-309); under jit we surface
+            # an all-candidates-invalid draw as a validity flag instead of
+            # silently accepting an overlapping candidate
+            all_valid = all_valid & jnp.any(ok)
         else:
             pick = 0
         x, y = xs[pick], ys[pick]
@@ -98,4 +107,4 @@ def sample_placements(specs: List[PlacementSpec], rng, n_candidates: int = 16):
 
     idx = jnp.asarray(np.concatenate(idx_out)) if idx_out else jnp.zeros(0, dtype=jnp.int32)
     vals = jnp.concatenate(val_out) if val_out else jnp.zeros(0)
-    return idx, vals, rng
+    return idx, vals, rng, all_valid

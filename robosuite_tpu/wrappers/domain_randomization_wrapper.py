@@ -27,13 +27,26 @@ from robosuite_tpu.wrappers.wrapper import Wrapper
 
 @dataclasses.dataclass(frozen=True)
 class DynamicsRandomizationConfig:
-    """Log-uniform multiplier ranges (reference DynamicsModder defaults
-    scale-perturb the same fields, mjmod.py:1405+)."""
+    """Multiplier ranges (reference DynamicsModder scale-perturbs the same
+    fields, mjmod.py:1405-1900).
+
+    Granularity mirrors the reference's per-body/per-geom/per-joint fields:
+    with the per_* flags on (default), every body mass, every dof damping,
+    and every contact pair's 3 friction coefficients get INDEPENDENT
+    multipliers per scenario; off = one shared scalar per field (the old
+    behavior). body_pos_noise adds per-body uniform position offsets
+    (reference DynamicsModder position_perturbation)."""
 
     mass_range: tuple = (0.8, 1.2)
     damping_range: tuple = (0.7, 1.3)
     friction_range: tuple = (0.7, 1.3)
     gravity_range: tuple = (1.0, 1.0)
+    stiffness_range: tuple = (1.0, 1.0)   # joint stiffness multipliers
+    body_pos_noise: float = 0.0           # additive uniform +- metres
+    per_body_mass: bool = True
+    per_dof_damping: bool = True
+    per_pair_friction: bool = True
+    per_joint_stiffness: bool = True
 
 
 class DomainRandomizationWrapper(Wrapper):
@@ -49,28 +62,45 @@ class DomainRandomizationWrapper(Wrapper):
         base = env.model
 
         def sample_overrides(rng):
-            k1, k2, k3, k4 = jax.random.split(rng, 4)
+            k1, k2, k3, k4, k5, k6 = jax.random.split(rng, 6)
             c = self.config
 
             def u(k, rng_range, shape=()):
                 lo, hi = rng_range
                 return jax.random.uniform(k, shape, minval=lo, maxval=hi)
 
-            return {
-                "body_mass": u(k1, c.mass_range),
-                "dof_damping": u(k2, c.damping_range),
-                "pair_friction": u(k3, c.friction_range),
+            nb, nv = base.nbody, base.nv
+            npair, njnt = base.npair, base.njnt
+            ov = {
+                "body_mass": u(k1, c.mass_range, (nb,) if c.per_body_mass else ()),
+                "dof_damping": u(k2, c.damping_range, (nv,) if c.per_dof_damping else ()),
+                "pair_friction": u(k3, c.friction_range,
+                                   (npair, 3) if c.per_pair_friction else ()),
                 "gravity": u(k4, c.gravity_range),
+                "jnt_stiffness": u(k5, c.stiffness_range,
+                                   (njnt,) if c.per_joint_stiffness else ()),
             }
+            if c.body_pos_noise > 0.0:
+                ov["body_pos"] = jax.random.uniform(
+                    k6, (nb, 3), minval=-c.body_pos_noise, maxval=c.body_pos_noise
+                )
+            return ov
 
         def apply_overrides(model, ov):
-            return model.replace(
-                body_mass=model.body_mass * ov["body_mass"],
-                body_inertia=model.body_inertia * ov["body_mass"],
+            mass = ov["body_mass"]
+            mass_b = mass if jnp.ndim(mass) else mass  # (nb,) or scalar
+            out = model.replace(
+                body_mass=model.body_mass * mass_b,
+                body_inertia=model.body_inertia
+                * (mass_b[:, None] if jnp.ndim(mass) else mass_b),
                 dof_damping=model.dof_damping * ov["dof_damping"],
                 pair_friction=model.pair_friction * ov["pair_friction"],
                 gravity=model.gravity * ov["gravity"],
+                jnt_stiffness=model.jnt_stiffness * ov["jnt_stiffness"],
             )
+            if "body_pos" in ov:
+                out = out.replace(body_pos=model.body_pos + ov["body_pos"])
+            return out
 
         self._sample_overrides = sample_overrides
         self._apply = apply_overrides

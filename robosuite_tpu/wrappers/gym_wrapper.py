@@ -24,9 +24,14 @@ class GymWrapper(Wrapper):
         super().__init__(env)
         self.name = type(env).__name__
         if keys is None:
-            # default: all non-image observables (reference gym_wrapper.py:54-66)
+            # reference gym_wrapper.py:54-66 defaults: object-state +
+            # per-robot proprio-state (+ camera images when enabled)
             _, obs = env.reset()
-            keys = [k for k in obs.keys() if not k.endswith("image")]
+            keys = [k for k in sorted(obs.keys()) if k.endswith("-state")]
+            keys += [k for k in obs.keys() if k.endswith("_image")]
+            if not keys:  # envs without the aggregation keys: raw non-image
+                keys = [k for k in obs.keys()
+                        if not k.endswith("image") and k != "placement_valid"]
         self.keys = keys
         self.flatten_obs = flatten_obs
 

@@ -36,3 +36,53 @@ def test_gym_wrapper_api(lift_env):
     o1, _ = g.reset(seed=123)
     o2, _ = g.reset(seed=123)
     np.testing.assert_array_equal(o1, o2)
+
+
+def test_per_field_dynamics_randomization(lift_env):
+    """Two scenarios in one vmapped batch run different PER-BODY masses /
+    per-pair frictions / per-body position offsets (reference DynamicsModder
+    granularity, mjmod.py:1405-1900)."""
+    import jax
+    import jax.numpy as jnp
+
+    from robosuite_tpu.wrappers.domain_randomization_wrapper import (
+        DomainRandomizationWrapper,
+        DynamicsRandomizationConfig,
+    )
+
+    env = lift_env
+    dr = DomainRandomizationWrapper(env, DynamicsRandomizationConfig(body_pos_noise=0.001))
+    ov1 = dr._sample_overrides(jax.random.PRNGKey(0))
+    ov2 = dr._sample_overrides(jax.random.PRNGKey(1))
+    assert ov1["body_mass"].shape == (env.model.nbody,)
+    assert ov1["pair_friction"].shape == (env.model.npair, 3)
+    assert ov1["dof_damping"].shape == (env.model.nv,)
+    assert ov1["body_pos"].shape == (env.model.nbody, 3)
+
+    state, _ = env.reset(jax.random.PRNGKey(0))
+    step = jax.jit(jax.vmap(
+        lambda s, o: env._step_impl(s, jnp.zeros(env.action_dim), model=dr._apply(env.model, o))[0]
+    ))
+    states = jax.tree.map(lambda x: jnp.stack([x, x]), state)
+    ovs = jax.tree.map(lambda a, b: jnp.stack([a, b]), ov1, ov2)
+    out = step(states, ovs)
+    d = float(jnp.max(jnp.abs(out.physics.qpos[0] - out.physics.qpos[1])))
+    assert d > 1e-6, "different per-field dynamics must diverge trajectories"
+
+
+def test_obs_dict_contract(lift_env):
+    """Reference obs-dict invariants (test_all_environments.py:16-60 /
+    environments/base.py:429-465): per-modality aggregation keys exist and
+    concatenate the per-key observables."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    state, obs = lift_env.reset(jax.random.PRNGKey(0))
+    assert "robot0_proprio-state" in obs and "object-state" in obs
+    assert obs["robot0_proprio-state"].ndim == 1
+    state, obs, r, done, info = lift_env.step(state, jnp.zeros(lift_env.action_dim))
+    proprio_keys = [k for k in obs if k.startswith("robot0_") and not k.endswith("-state")]
+    dim = sum(int(np.prod(np.shape(obs[k]))) for k in proprio_keys)
+    assert obs["robot0_proprio-state"].size == dim
+    assert "robot0_eef_force" in obs and "robot0_eef_torque" in obs
