@@ -388,6 +388,74 @@ def _np_box_box(p1, R1, s1, p2, R2, s2):
         nw = _mat_vec(R1, n_l)
         pos = _add(pt, _scale(-0.5 * d, nw))
         out.append((d, pos, nw))
+    out.extend(_np_box_box_edges(p1, R1, s1, p2, R2, s2))
+    return out
+
+
+def _np_box_box_edges(p1, R1, s1, p2, R2, s2):
+    """Lane mirror of contact._box_box_edge_candidates: 9 SAT edge-cross
+    rows, masked to +_BIG unless the global separating axis is that pair's
+    cross axis (and it beats every face axis)."""
+    dp = _sub(p2, p1)
+    a_axes = [_matcol(R1, i) for i in range(3)]
+    b_axes = [_matcol(R2, j) for j in range(3)]
+
+    def face_seps(axes, h_self, other_axes, h_other):
+        out = []
+        for k in range(3):
+            ax = axes[k]
+            t = _dot(ax, dp)
+            proj_o = sum(h_other[m] * jnp.abs(_dot(ax, other_axes[m])) for m in range(3))
+            out.append(jnp.abs(t) - h_self[k] - proj_o)
+        return out
+
+    seps_f = face_seps(a_axes, s1, b_axes, s2) + face_seps(b_axes, s2, a_axes, s1)
+    max_face = seps_f[0]
+    for s in seps_f[1:]:
+        max_face = jnp.maximum(max_face, s)
+
+    cands = []
+    seps_e = []
+    for i in range(3):
+        for j in range(3):
+            a, b = a_axes[i], b_axes[j]
+            axis = _cross(a, b)
+            nrm = _norm3(axis)
+            valid = nrm > 1e-6
+            inv = 1.0 / jnp.maximum(nrm, 1e-6)
+            axis = _scale(inv, axis)
+            sgn = jnp.where(_dot(axis, dp) < 0.0, -1.0, 1.0)
+            axis = _scale(sgn, axis)
+            proj1 = sum(s1[k] * jnp.abs(_dot(axis, a_axes[k])) for k in range(3))
+            proj2 = sum(s2[k] * jnp.abs(_dot(axis, b_axes[k])) for k in range(3))
+            sep = _dot(axis, dp) - proj1 - proj2
+            sep = jnp.where(valid, sep, -jnp.inf)
+            seps_e.append(sep)
+            o1 = (0.0, 0.0, 0.0)
+            o2 = (0.0, 0.0, 0.0)
+            for k in range(3):
+                if k != i:
+                    o1 = _add(o1, _scale(jnp.sign(_dot(axis, a_axes[k])) * s1[k], a_axes[k]))
+                if k != j:
+                    o2 = _sub(o2, _scale(jnp.sign(_dot(axis, b_axes[k])) * s2[k], b_axes[k]))
+            c1 = _add(p1, o1)
+            c2 = _add(p2, o2)
+            r = _sub(c2, c1)
+            ab = _dot(a, b)
+            den = jnp.maximum(1.0 - ab * ab, 1e-9)
+            t1 = jnp.clip((_dot(a, r) - ab * _dot(b, r)) / den, -s1[i], s1[i])
+            t2 = jnp.clip((ab * _dot(a, r) - _dot(b, r)) / den, -s2[j], s2[j])
+            q1 = _add(c1, _scale(t1, a))
+            q2 = _add(c2, _scale(t2, b))
+            cands.append((sep, _scale(0.5, _add(q1, q2)), axis, valid))
+
+    best_e = seps_e[0]
+    for s in seps_e[1:]:
+        best_e = jnp.maximum(best_e, s)
+    out = []
+    for sep, pos, axis, valid in cands:
+        emit = valid & (sep >= best_e - 1e-9) & (sep > max_face)
+        out.append((jnp.where(emit, sep, _BIG), pos, axis))
     return out
 
 

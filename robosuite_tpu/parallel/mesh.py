@@ -18,7 +18,17 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 try:  # jax >= 0.4.35: public API; experimental path is deprecated
-    from jax import shard_map
+    from jax import shard_map as _shard_map_raw
+
+    def shard_map(f, mesh=None, in_specs=None, out_specs=None, check_rep=False):
+        # the public API renamed/dropped check_rep; keep the call sites'
+        # signature stable across jax versions
+        try:
+            return _shard_map_raw(f, mesh=mesh, in_specs=in_specs,
+                                  out_specs=out_specs, check_vma=check_rep)
+        except TypeError:
+            return _shard_map_raw(f, mesh=mesh, in_specs=in_specs,
+                                  out_specs=out_specs)
 except ImportError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map
 

@@ -54,7 +54,7 @@ _PAIR_POINTS = {
     (S.CAPSULE, S.BOX): 2,
     (S.CYLINDER, S.CYLINDER): 1,
     (S.CYLINDER, S.BOX): 2,
-    (S.BOX, S.BOX): 16,
+    (S.BOX, S.BOX): 25,  # 16 two-way vertex tests + 9 SAT edge-cross rows
     # convex hulls (mesh geoms with hull cards, tools/extract_meshes.py)
     (S.PLANE, S.MESH): 4,
     (S.SPHERE, S.MESH): 1,
@@ -272,10 +272,83 @@ def _capsule_box(p1, R1, s1, p2, R2, s2):
     return jnp.stack(out_d), jnp.stack(out_p), jnp.stack(out_n)
 
 
+def _box_box_edge_candidates(p1, R1, s1, p2, R2, s2):
+    """SAT edge-cross-axis contacts (MuJoCo mjc_BoxBox edge case): 9
+    candidate rows, all masked to +BIG except when the GLOBAL separating
+    axis (max separation over 6 face + 9 edge axes) is that edge pair's
+    cross axis — two boxes meeting edge-to-edge have no vertex inside the
+    other, so the vertex tests alone let them interpenetrate."""
+    dp = p2 - p1
+    s1 = s1[:3]
+    s2 = s2[:3]
+
+    # face-axis separations (both boxes)
+    def face_sep(R, h, other_R, other_h):
+        axes = R.T  # (3, 3) rows
+        t = axes @ dp
+        proj_self = h
+        proj_other = jnp.abs(axes @ other_R) @ other_h
+        return jnp.abs(t) - proj_self - proj_other  # (3,)
+
+    sep_f = jnp.concatenate([face_sep(R1, s1, R2, s2), face_sep(R2, s2, R1, s1)])
+    max_face = jnp.max(sep_f)
+
+    a_axes = R1.T  # rows = box1 edge directions
+    b_axes = R2.T
+    ds, poss, ns = [], [], []
+    sep_e = []
+    cands = []
+    for i in range(3):
+        for j in range(3):
+            a = a_axes[i]
+            b = b_axes[j]
+            axis = jnp.cross(a, b)
+            nrm = jnp.linalg.norm(axis)
+            valid = nrm > 1e-6
+            axis = axis / jnp.maximum(nrm, 1e-6)
+            sgn = jnp.where(jnp.dot(axis, dp) < 0.0, -1.0, 1.0)
+            axis = axis * sgn  # from box1 toward box2
+            proj1 = jnp.sum(s1 * jnp.abs(a_axes @ axis))
+            proj2 = jnp.sum(s2 * jnp.abs(b_axes @ axis))
+            sep = jnp.dot(axis, dp) - proj1 - proj2
+            sep = jnp.where(valid, sep, -jnp.inf)
+            sep_e.append(sep)
+            # supporting edges: box1 furthest along +axis (free along i),
+            # box2 furthest along -axis (free along j)
+            o1 = jnp.zeros(3)
+            o2 = jnp.zeros(3)
+            for k in range(3):
+                if k != i:
+                    o1 = o1 + jnp.sign(jnp.dot(axis, a_axes[k])) * s1[k] * a_axes[k]
+                if k != j:
+                    o2 = o2 - jnp.sign(jnp.dot(axis, b_axes[k])) * s2[k] * b_axes[k]
+            c1 = p1 + o1
+            c2 = p2 + o2
+            # closest points of the two (infinite) edge lines, clamped
+            r = c2 - c1
+            ab = jnp.dot(a, b)
+            den = jnp.maximum(1.0 - ab * ab, 1e-9)
+            t1 = jnp.clip((jnp.dot(a, r) - ab * jnp.dot(b, r)) / den, -s1[i], s1[i])
+            t2 = jnp.clip((ab * jnp.dot(a, r) - jnp.dot(b, r)) / den, -s2[j], s2[j])
+            q1 = c1 + t1 * a
+            q2 = c2 + t2 * b
+            cands.append((sep, 0.5 * (q1 + q2), axis, valid))
+
+    best_e = jnp.max(jnp.stack(sep_e))
+    for sep, pos, axis, valid in cands:
+        # only the globally-best axis emits a contact, and only when an
+        # edge axis beats every face axis
+        emit = valid & (sep >= best_e - 1e-9) & (sep > max_face)
+        ds.append(jnp.where(emit, sep, _BIG))
+        poss.append(pos)
+        ns.append(axis)
+    return jnp.stack(ds), jnp.stack(poss), jnp.stack(ns)
+
+
 def _box_box(p1, R1, s1, p2, R2, s2):
-    """Vertex-in-box two-way test: 8 corners of box1 against box2 (and the
-    4 deepest of box2's corners against box1). Approximate but adequate for
-    resting/stacking/grasping manifolds; exact SAT clipping is a later round."""
+    """Two-way vertex-in-box tests (16 rows) + SAT edge-cross contacts
+    (9 masked rows; see _box_box_edge_candidates). Narrowphase reduces the
+    25 candidates to the MANIFOLD_CAP deepest."""
     corners = jnp.array(
         [[sx, sy, sz] for sx in (-1.0, 1.0) for sy in (-1.0, 1.0) for sz in (-1.0, 1.0)]
     )
@@ -291,10 +364,10 @@ def _box_box(p1, R1, s1, p2, R2, s2):
     d2, n2 = jax.vmap(_point_box_dist, in_axes=(0, None))(pl2, s1)
     nw2 = jnp.einsum("ij,nj->ni", R1, n2)
     pos2 = pts2 + (-nw2) * 0.5 * d2[:, None]
-    # all 16 candidates kept (continuity > buffer size; see _plane_box note)
-    d = jnp.concatenate([d1, d2])
-    pos = jnp.concatenate([pos1, pos2])
-    nrm = jnp.concatenate([nw1, nw2])
+    de, pe, ne = _box_box_edge_candidates(p1, R1, s1, p2, R2, s2)
+    d = jnp.concatenate([d1, d2, de])
+    pos = jnp.concatenate([pos1, pos2, pe])
+    nrm = jnp.concatenate([nw1, nw2, ne])
     return d, pos, nrm
 
 

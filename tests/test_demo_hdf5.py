@@ -4,12 +4,15 @@ Mirrors the reference's open-loop reproducibility contract
 (tests/test_environments/test_action_playback.py:17-71 +
 scripts/collect_human_demonstrations.py:120-146 HDF5 schema): record states
 and actions, rebuild the episode's exact model from the stored MJCF, seed
+import pytest
 from states[0], replay actions, and require a bit-identical final state.
 """
 
 import numpy as np
+import pytest
 
 
+@pytest.mark.slow
 def test_collect_gather_playback_bit_exact(tmp_path):
     import h5py
 

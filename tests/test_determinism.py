@@ -26,6 +26,7 @@ def test_reset_determinism(lift_env):
     assert np.abs(np.asarray(s1.physics.qpos) - np.asarray(s3.physics.qpos)).max() > 1e-6
 
 
+@pytest.mark.slow
 def test_action_playback_bit_exact(lift_env):
     """Record 6 random-action states; replay from the flattened initial
     state -> bitwise-identical states (reference test_action_playback.py)."""

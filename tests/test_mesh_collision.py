@@ -119,6 +119,7 @@ def test_hull_grasp_between_boxes():
     assert q[2] > -0.05, q[:3]
 
 
+@pytest.mark.slow
 def test_pick_place_env_with_hull_objects():
     """PickPlace builds with the four hull-backed objects and steps finite
     (reference pick_place.py's Milk/Bread/Cereal/Can)."""

@@ -58,6 +58,7 @@ def test_action_split_matches_reference(envs, robot):
     assert env.action_dim == max(e for _, e in REF_SPLITS[robot].values())
 
 
+@pytest.mark.slow
 def test_pandaomron_steps_and_base_translates(envs):
     # Tiago's step graph is construction-tested only: its bimanual step
     # compile alone costs ~3 min on XLA:CPU (stepping is same code path)
@@ -79,6 +80,7 @@ def test_pandaomron_steps_and_base_translates(envs):
     assert x1 > x0 + 1e-3, f"base did not translate forward: {x0} -> {x1}"
 
 
+@pytest.mark.slow
 def test_spot_steps_without_nan(envs):
     env = envs["SpotWithArmFloating"]
     out = env.reset(jax.random.PRNGKey(0))

@@ -65,10 +65,18 @@ def test_pick_place_can_sawyer_solve():
     _smoke_solve(env)
 
 
-def test_door_solve_with_ilqr():
-    # config 3: Panda + Door (articulated-object cost), MPPI + 1 iLQR iter
+def test_door_solve():
+    # config 3: Panda + Door (articulated-object cost), MPPI
     env = robosuite_tpu.make("Door", robots="Panda", reward_shaping=True)
     _residual_finite(env)
+    _smoke_solve(env)
+
+
+@pytest.mark.slow
+def test_door_solve_with_ilqr():
+    # config 3 with the iLQR refinement in the loop (FD linearization
+    # through the contact rollout; big XLA:CPU compile -> slow-marked)
+    env = robosuite_tpu.make("Door", robots="Panda", reward_shaping=True)
     _smoke_solve(env, n_ilqr=1, horizon=3, n_samples=3)
 
 
@@ -88,11 +96,9 @@ def test_two_arm_lift_solve():
 
 def test_wipe_force_tracking_residual():
     # config 5: Wipe with variable-impedance OSC, force-tracking cost
-    from robosuite_tpu.controllers.factory import arm_controller_config
-
     env = robosuite_tpu.make(
         "Wipe", robots="Panda", num_markers=3, seed=1,
-        controller_configs=arm_controller_config("OSC_POSE", impedance_mode="variable_kp"),
+        controller_configs={"right": {"type": "OSC_POSE", "impedance_mode": "variable_kp"}},
     )
     r = _residual_finite(env)
     # pressing term active: at reset the tool is off the table -> pen < 0
@@ -101,6 +107,7 @@ def test_wipe_force_tracking_residual():
     _smoke_solve(env, horizon=3, n_samples=3)
 
 
+@pytest.mark.slow
 def test_wipe_eef_force_observable():
     """Push the wiping tool into the table: eef force must rise and the
     excess-force penalty must fire (reference wipe.py:483-493)."""

@@ -88,6 +88,7 @@ def test_buffers():
     assert outs == [0.0, 0.0, 0.0, 1.0]
 
 
+@pytest.mark.slow
 def test_visualization_wrapper_indicators():
     """Indicator sites are injected into the world and movable
     (reference visualization_wrapper.py:23-186)."""

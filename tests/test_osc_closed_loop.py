@@ -49,6 +49,7 @@ def test_gripper_action_closes_fingers(lift_env):
     assert closed_q[1] > open_q[1] + 0.005, (open_q, closed_q)
 
 
+@pytest.mark.slow
 def test_variable_impedance_kp_changes_tracking():
     """Mirror of reference tests/test_controllers/test_variable_impedance.py:
     under variable_kp OSC, a stiff (high-kp) action tracks a commanded delta
@@ -75,6 +76,7 @@ def test_variable_impedance_kp_changes_tracking():
     assert stiff > 0.005, stiff
 
 
+@pytest.mark.slow
 def test_linear_interpolator_ramps_goal():
     """Mirror of reference tests/test_controllers/test_linear_interpolator.py:
     with interpolation="linear" the commanded step is reached gradually —
@@ -109,6 +111,7 @@ def test_linear_interpolator_ramps_goal():
     assert t_interp[0] <= t_plain[0] + 1e-4, (t_interp[0], t_plain[0])
 
 
+@pytest.mark.slow
 def test_wipe_variable_impedance_config():
     """BASELINE config #5: Wipe with variable-impedance OSC — the action
     carries [damping_ratio(6), kp(6), delta(6)] and the env tracks per-step

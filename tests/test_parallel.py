@@ -31,6 +31,7 @@ def small_env():
     )
 
 
+@pytest.mark.slow
 def test_sharded_env_step_matches_vmap(small_env):
     env = small_env
     B = 8
@@ -66,6 +67,7 @@ def test_sharded_env_step_matches_vmap(small_env):
     assert len(out_states.physics.qpos.sharding.device_set) == 8
 
 
+@pytest.mark.slow
 def test_sharded_env_step_map_batcher(small_env):
     """batcher="map" (the CPU-dryrun path) agrees with host-side lax.map.
     Bit-parity is not guaranteed even here — the per-device compilation
