@@ -210,9 +210,66 @@ class CapsuleObject(PrimitiveObject):
         return float(self.size[0])
 
 
+class CompositeBodyObject(MujocoObject):
+    """Object composed of multiple child BODIES, each a MujocoObject (or a
+    raw BodySpec builder), welded under one root at given offsets with
+    optional extra joints per child — the generic machinery of reference
+    generated_objects.py:19-292 (used there for Transport groups and
+    articulated composites).
+
+    Args:
+        name: object name.
+        objects: list of MujocoObject instances (their root bodies are
+            re-parented under this object's root; their own free joints are
+            dropped — this object's `joints` governs the whole assembly).
+        object_locations: (n, 3) child body offsets.
+        object_quats: optional (n, 4) wxyz child orientations.
+        body_joints: optional dict child-index -> list of S.JointSpec to
+            attach to that child (e.g. a hinge for an articulated part).
+    """
+
+    def __init__(self, name, objects, object_locations, object_quats=None,
+                 body_joints=None, joints="default"):
+        super().__init__(name, joints=joints)
+        self._children = list(objects)
+        self._locs = [np.asarray(p, dtype=np.float64) for p in object_locations]
+        self._quats = object_quats or [(1, 0, 0, 0)] * len(self._children)
+        self._body_joints = body_joints or {}
+
+    def _build(self):
+        root = self._make_root()
+        for i, (child, pos, quat) in enumerate(zip(self._children, self._locs, self._quats)):
+            body = child.get_obj() if isinstance(child, MujocoObject) else child()
+            body.pos = tuple(pos)
+            body.quat = tuple(quat)
+            # the assembly moves as one object: child free joints drop
+            body.joints = [j for j in body.joints if j.type != "free"]
+            for j in self._body_joints.get(i, []):
+                body.joints.append(j)
+            root.children.append(body)
+        return root
+
+    @property
+    def bottom_offset(self):
+        los = []
+        for child, pos in zip(self._children, self._locs):
+            off = child.bottom_offset if isinstance(child, MujocoObject) else np.zeros(3)
+            los.append(pos[2] + off[2])
+        return np.array([0, 0, min(los) if los else 0.0])
+
+    @property
+    def top_offset(self):
+        his = []
+        for child, pos in zip(self._children, self._locs):
+            off = child.top_offset if isinstance(child, MujocoObject) else np.zeros(3)
+            his.append(pos[2] + off[2])
+        return np.array([0, 0, max(his) if his else 0.0])
+
+
 class CompositeBoxObject(MujocoObject):
     """Multi-geom single-body object (reference CompositeObject,
-    generated_objects.py:293-600, restricted to box parts — enough for
+    generated_objects.py:293-600; despite the name it accepts any primitive
+    geom type via geom_types — boxes are just the common case for the
     PotWithHandles/Hammer/bins re-derivations below)."""
 
     def __init__(self, name, geom_sizes, geom_locations, geom_quats=None, geom_names=None,
@@ -257,3 +314,8 @@ class CompositeBoxObject(MujocoObject):
         if self._total_size is not None:
             return float(np.linalg.norm(self._total_size[:2]))
         return max(float(np.linalg.norm(p[:2]) + np.max(s[:2])) for p, s in zip(self.geom_locations, self.geom_sizes))
+
+
+# reference naming: generated_objects.py CompositeObject == multi-geom
+# single body; CompositeBodyObject == multi-body assembly
+CompositeObject = CompositeBoxObject

@@ -7,8 +7,9 @@ capsule / cylinder / box) for every pixel under jit, so camera observables
 vmap across thousands of scenarios on TPU like everything else.
 
 Produces RGB (Lambertian, one directional light) + metric depth. Mesh geoms
-are skipped (primitive shells render instead). Resolution and cameras come
-from the model's compiled camera array.
+with hull cards render via their convex face planes (ray-halfspace clip);
+only card-less meshes fall back to being skipped. Resolution and cameras
+come from the model's compiled camera array.
 """
 
 from __future__ import annotations
@@ -116,6 +117,23 @@ def _ray_cylinder(o, d, r, hl):
     return t, n
 
 
+def _ray_hull(o, d, fnorm, fdist):
+    """Convex hull from face planes (n.x <= d): half-space slab clipping.
+    Entry face gives the normal. Padded zero-normal rows drop out (dn ~ 0).
+    """
+    dn = fnorm @ d
+    on = fnorm @ o
+    safe = jnp.where(jnp.abs(dn) > 1e-9, dn, 1e-9)
+    t = (fdist - on) / safe
+    t_in = jnp.where(dn < -1e-9, t, -_BIG)
+    t_out = jnp.where(dn > 1e-9, t, _BIG)
+    t_enter = jnp.max(t_in)
+    t_exit = jnp.min(t_out)
+    hit = (t_enter <= t_exit) & (t_enter > 1e-4)
+    n = fnorm[jnp.argmax(t_in)]
+    return jnp.where(hit, t_enter, _BIG), n
+
+
 def _trace_one(model, geom_xpos, geom_xmat, origin, direction, geom_ids):
     """Closest hit over the given static geom id list.
 
@@ -140,7 +158,11 @@ def _trace_one(model, geom_xpos, geom_xmat, origin, direction, geom_ids):
             t, n_l = _ray_capsule(o_l, d_l, size[0], size[1])
         elif gt == S.CYLINDER:
             t, n_l = _ray_cylinder(o_l, d_l, size[0], size[1])
-        else:  # mesh etc: skip
+        elif gt == S.MESH and model.geom_meshid[g] >= 0:
+            mid = model.geom_meshid[g]
+            t, n_l = _ray_hull(o_l, d_l, jnp.asarray(model.mesh_fnorm[mid]),
+                               jnp.asarray(model.mesh_fdist[mid]))
+        else:  # card-less mesh: skip
             continue
         closer = t < best_t
         best_n = jnp.where(closer, R @ n_l, best_n)
@@ -198,10 +220,10 @@ def render_camera(model, kin, camera_name, height=84, width=84, geom_groups=None
         cam_pos = cam_pos + visual["cam_dpos"]
 
     # static geom selection: by group when given (reference renders group
-    # 0/1 by default), always excluding meshes (primitive shells render)
+    # 0/1 by default); hull-backed meshes render, card-less meshes skip
     geom_ids = [
         g for g in range(model.ngeom)
-        if model.geom_type[g] != S.MESH
+        if (model.geom_type[g] != S.MESH or model.geom_meshid[g] >= 0)
         and (geom_groups is None or model.geom_group[g] in geom_groups)
     ]
 
@@ -290,7 +312,7 @@ def render_segmentation(model, kin, camera_name, height=84, width=84,
 
     geom_ids = [
         g for g in range(model.ngeom)
-        if model.geom_type[g] != S.MESH
+        if (model.geom_type[g] != S.MESH or model.geom_meshid[g] >= 0)
         and (geom_groups is None or model.geom_group[g] in geom_groups)
     ]
     labels = np.asarray(
