@@ -38,6 +38,15 @@ def opspace_matrices(mass_matrix, J_full, J_pos, J_ori):
     Exact math of reference control_utils.py:43-82.
     """
     mass_matrix_inv = fastla.inv_spd(mass_matrix)
+    # one Newton refinement step on the (well-conditioned, SPD) arm mass
+    # matrix inverse: X' = X(2I - A X) recovers ~f64 digits of M^-1 for two
+    # small matmuls. The ridge-regularized Lambda inverses are NOT refined:
+    # refinement pushes them toward the unstable exact inverse at
+    # near-singular states, where the reference's pinv truncates instead.
+    n_m = mass_matrix.shape[-1]
+    mass_matrix_inv = mass_matrix_inv @ (
+        2.0 * jnp.eye(n_m, dtype=mass_matrix.dtype) - mass_matrix @ mass_matrix_inv
+    )
     lambda_full_inv = J_full @ mass_matrix_inv @ jnp.swapaxes(J_full, -1, -2)
     lambda_pos_inv = J_pos @ mass_matrix_inv @ jnp.swapaxes(J_pos, -1, -2)
     lambda_ori_inv = J_ori @ mass_matrix_inv @ jnp.swapaxes(J_ori, -1, -2)

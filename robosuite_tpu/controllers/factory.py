@@ -91,9 +91,32 @@ def load_composite_controller_config(
         (the reference's JSON schema)
       * a dict {"right": <config dataclass or part dict>}
     """
+    import json
+    import os
+
     if arms is None:
         arms = ["right", "left"] if robot == "Baxter" else ["right"]
     arms = list(arms)
+
+    cfg_root = os.path.join(os.path.dirname(__file__), "config")
+    if isinstance(controller, str) and controller.endswith(".json"):
+        # explicit JSON path (reference search order step 1,
+        # composite_controller_factory.py:73-103)
+        with open(controller) as f:
+            controller = json.load(f)
+    elif isinstance(controller, str) and controller.upper() in ("BASIC",):
+        # named composite -> shipped default JSON (search order step 2)
+        with open(os.path.join(cfg_root, "default", "composite",
+                               controller.lower() + ".json")) as f:
+            controller = json.load(f)
+    elif controller is None and robot is not None:
+        # per-robot default JSON when shipped (search order step 3);
+        # otherwise the dataclass defaults below (same values)
+        path = os.path.join(cfg_root, "robots", f"default_{robot.lower()}.json")
+        if os.path.exists(path):
+            with open(path) as f:
+                controller = json.load(f)
+
     if controller is None:
         return {arm: arm_controller_config("OSC_POSE") for arm in arms}
     if isinstance(controller, str):

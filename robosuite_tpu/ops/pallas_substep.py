@@ -124,7 +124,13 @@ def extract_spec(env, model) -> FusedSpec:
     cfg = robot.arm_cfg[arm]
     if not isinstance(cfg, osc_mod.OSCConfig):
         raise UnsupportedFused(f"arm controller {type(cfg).__name__}")
-    _pair_meta(model)  # raises on unsupported pair types
+    pairs = _pair_meta(model)  # raises on unsupported pair types
+    # VMEM budget: the solver holds JfT + MinvJT + iterate temps, each
+    # (nv, ntot, 128) f32 per block. ~16 MB/core VMEM caps nv*ntot; bigger
+    # worlds (PickPlace: ntot>1000) need pair-level compaction (future).
+    ntot = 3 * sum(p["npts"] for p in pairs)
+    if model.nv * ntot > 8000:
+        raise UnsupportedFused(f"solver too large for VMEM (nv*ntot={model.nv * ntot})")
 
     lo, hi = robot.torque_limits[arm]
     grip_acts: Tuple[int, ...] = ()
@@ -695,6 +701,17 @@ def _make_substep_kernel(model, spec: FusedSpec, solver_iters: int, power_iters:
             e = [one if j == i else zero for j in range(na)]
             eye_cols.append(_chol_solve_vec(La, e, na))
         Minv = [[eye_cols[j][i] for j in range(na)] for i in range(na)]  # (na, na)
+        # one Newton refinement step on M^-1 (mirrors control_utils.
+        # opspace_matrices): X' = X (2I - M X)
+        MX = [[None] * na for _ in range(na)]
+        for i in range(na):
+            for j in range(na):
+                s = Ma[i][0] * Minv[0][j]
+                for k in range(1, na):
+                    s = s + Ma[i][k] * Minv[k][j]
+                MX[i][j] = (2.0 if i == j else 0.0) - s
+        Minv = [[sum(Minv[i][k] * MX[k][j] for k in range(na)) for j in range(na)]
+                for i in range(na)]
 
         # J rows as (na,) lists: rows 0-2 pos, 3-5 ori
         Jrows = []

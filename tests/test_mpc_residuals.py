@@ -126,3 +126,20 @@ def test_wipe_eef_force_observable():
             break
     assert max_force > 1.0, f"no contact force seen (max {max_force})"
     assert fired, "never exceeded pressure_threshold_max while pushing down"
+
+
+def test_json_controller_config_loading(tmp_path):
+    """Reference config search order (composite_controller_factory.py:73-140):
+    explicit JSON path > named composite JSON > per-robot default JSON."""
+    import json
+
+    from robosuite_tpu.controllers.factory import load_composite_controller_config
+
+    cfg = load_composite_controller_config("BASIC", robot="Panda")
+    assert type(cfg["right"]).__name__ == "OSCConfig" and cfg["right"].kp == 150
+    p = tmp_path / "custom.json"
+    basic = json.load(open("robosuite_tpu/controllers/config/default/composite/basic.json"))
+    basic["body_parts"]["arms"]["right"]["kp"] = 42
+    json.dump(basic, open(p, "w"))
+    cfg3 = load_composite_controller_config(str(p))
+    assert cfg3["right"].kp == 42
