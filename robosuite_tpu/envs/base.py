@@ -401,6 +401,10 @@ class RobotEnv:
         zero = jnp.zeros(3, dtype=kin.site_xpos.dtype)
         if not rows or f is None or f.shape[0] == 0:
             return zero, zero
+        if cmod.uses_row_compaction(self.model):
+            # big worlds compact active rows into dynamic slots — the
+            # static row->f mapping below does not apply (no F/T obs there)
+            return zero, zero
         R = sum(len(v) for v in cmod.contact_row_layout(self.model).values())
         pairs = sorted({k for _, _, k in rows})
         con = cmod.narrowphase(self.model, kin, pairs=pairs)
@@ -635,19 +639,17 @@ class RobotEnv:
                 for r, cs, a in zip(self.robots, ctrl_states, robot_actions)
             ]
             packed = self._pack_ctrl(ctrl_states)
-            ostate = ctrl_states[0].arm[armn]
-            op, oR = sx[cen], sm[cen]
+            goal_fn = self._fused_goal_fn(robot, armn, ctrl_states[0], kl)
             grip = robot.gripper_ctrl(armn, ctrl_states[0])
             if grip is None:
                 grip = jnp.zeros(1, dtype=physics.qpos.dtype)
 
             def substep(carry, k):
                 phys, _aux = carry
-                despos, desori = osc_mod.desired_world_pose(cfg, ostate, op, oR, k)
+                goal, gains = goal_fn(k)
                 qpos2, qvel2, _f, sx2, sm2, bx2, pd2 = fused(
                     phys.qpos, phys.qvel, model.body_mass, model.body_inertia,
-                    model.gravity, model.dof_armature, despos, desori,
-                    ostate.kp, ostate.kd, grip,
+                    model.gravity, model.dof_armature, goal, gains, grip,
                 )
                 phys2 = phys.replace(qpos=qpos2, qvel=qvel2, time=phys.time + dt)
                 return (phys2, (sx2, sm2, bx2, pd2)), ()
@@ -657,7 +659,7 @@ class RobotEnv:
             )
             kl2 = kin_lite(*aux2, physics.qpos.dtype)
             reward = self.reward(None, physics, kl2)
-            new_state = EnvState(physics=physics, ctrl=packed, t=state.t + 1, rng=state.rng)
+            new_state = state.replace(physics=physics, ctrl=packed, t=state.t + 1)
             return new_state, reward, aux2
 
         def rollout_return(env_state, seq, discounts):
@@ -694,30 +696,51 @@ class RobotEnv:
         fused = self._fused_for(model)
         if fused is None:
             return None
-        from robosuite_tpu.controllers.parts import osc as osc_mod
-
         robot = self.robots[0]
         armn = robot.arms[0]
-        cfg = robot.arm_cfg[armn]
-        ostate = ctrl_states[0].arm[armn]
-        op = kin.site_xpos[robot.center_site_id[armn]]
-        oR = kin.site_xmat[robot.center_site_id[armn]]
+        goal_fn = self._fused_goal_fn(robot, armn, ctrl_states[0], kin)
         grip = robot.gripper_ctrl(armn, ctrl_states[0])
         if grip is None:
-            grip = jnp.zeros(1, dtype=op.dtype)
+            grip = jnp.zeros(1, dtype=kin.site_xpos.dtype)
         dt = model.timestep
 
         def substep(carry, k):
             phys, _f_prev = carry
-            despos, desori = osc_mod.desired_world_pose(cfg, ostate, op, oR, k)
+            goal, gains = goal_fn(k)
             qpos2, qvel2, f = fused(
                 phys.qpos, phys.qvel, model.body_mass, model.body_inertia,
-                model.gravity, model.dof_armature, despos, desori,
-                ostate.kp, ostate.kd, grip,
+                model.gravity, model.dof_armature, goal, gains, grip,
             )
             return (phys.replace(qpos=qpos2, qvel=qvel2, time=phys.time + dt), f), ()
 
         return substep
+
+    def _fused_goal_fn(self, robot, armn, ctrl_state, kin):
+        """goal_fn(substep_idx) -> (goal, gains) rows for the fused kernel
+        (see ops/pallas_substep.make_fused_substep for the encoding)."""
+        from robosuite_tpu.controllers.parts import joint_pos as jp_mod
+        from robosuite_tpu.controllers.parts import osc as osc_mod
+
+        cfg = robot.arm_cfg[armn]
+        ostate = ctrl_state.arm[armn]
+        if isinstance(cfg, jp_mod.JointPosConfig):
+            goal = ostate.goal_qpos
+            gains = jnp.concatenate([ostate.kp, ostate.kd])
+
+            def goal_fn(k):
+                return goal, gains
+
+            return goal_fn
+        cen = robot.center_site_id[armn]
+        op = kin.site_xpos[cen]
+        oR = kin.site_xmat[cen]
+
+        def goal_fn(k):
+            despos, desori = osc_mod.desired_world_pose(cfg, ostate, op, oR, k)
+            return (jnp.concatenate([despos, desori.reshape(9)]),
+                    jnp.concatenate([ostate.kp, ostate.kd]))
+
+        return goal_fn
 
     def make_plan_dynamics(self, model, n_substeps):
         """Lean dynamics step(state, action) -> state for MPC linearization
@@ -750,7 +773,7 @@ class RobotEnv:
             else:
                 f0 = self._fused_f_zeros(model, physics.qpos.dtype)
             (physics, _), _ = jax.lax.scan(substep, (physics, f0), jnp.arange(n_substeps))
-            return EnvState(physics=physics, ctrl=packed, t=state.t + 1, rng=state.rng)
+            return state.replace(physics=physics, ctrl=packed, t=state.t + 1)
 
         return dyn
 
@@ -807,8 +830,8 @@ class RobotEnv:
         reward = self.reward(obs, physics, kin)
         t = state.t + 1
         done = t >= self.horizon
-        new_state = EnvState(physics=physics, ctrl=packed, t=t, rng=rng_next,
-                             obs_cache=obs_cache)
+        new_state = state.replace(physics=physics, ctrl=packed, t=t, rng=rng_next,
+                                  obs_cache=obs_cache)
         return new_state, obs, reward, done, {}
 
     def _rollout_impl(self, state: EnvState, action, model=None, n_substeps=None):
@@ -860,7 +883,7 @@ class RobotEnv:
         (physics, _f_last), _ = jax.lax.scan(substep, (physics, f0), jnp.arange(n_substeps))
         kin2, M2, bias2 = engine.forward_products(model, physics)
         reward = self.reward(None, physics, kin2)
-        new_state = EnvState(physics=physics, ctrl=packed, t=state.t + 1, rng=state.rng)
+        new_state = state.replace(physics=physics, ctrl=packed, t=state.t + 1)
         return new_state, reward, kin2, M2, bias2
 
     # -- public API ------------------------------------------------------------

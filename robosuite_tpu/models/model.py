@@ -88,6 +88,9 @@ class Model:
     # Coarse planning models (mpc/receding.py) trade solver tightness for
     # throughput: planning contacts don't need execution-grade convergence.
     solver_iters: Optional[int] = _static(default=None)
+    # power-iteration count for the APGD step-size estimate (None ->
+    # contact.POWER_ITERS); planning/linearization models can cheapen it
+    solver_power_iters: Optional[int] = _static(default=None)
 
     # ---- array parameters --------------------------------------------------
     body_pos: Any = None          # (nbody, 3)

@@ -62,6 +62,10 @@ class MPCConfig:
     plan_timestep: float = 0.01       # planning-model integrator dt
     plan_solver_iters: int = 10       # planning-model APGD iterations
                                       # (execution keeps contact.APGD_ITERS)
+    fd_solver_iters: int = 6          # APGD iterations for iLQR's FD
+    fd_power_iters: int = 4           # linearization evals: the H*(nx+nu)
+                                      # perturbed rollouts tolerate a coarser
+                                      # contact solve than the nominal plan
     u_cost: float = 0.05              # control-effort residual weight
 
 
@@ -105,26 +109,38 @@ class RecedingMPC:
         self._template = env._reset_jit(jax.random.PRNGKey(0))[0]
         self._nu = env.action_dim
 
-        # ravel structure for the iLQR state x = (qpos, qvel, gripper ramps)
-        grip0 = self._template.ctrl.gripper_action
+        # ravel structure for the iLQR state x = (qpos, qvel, gripper ramps);
+        # multi-robot envs pack ctrl as a tuple of RobotCtrlStates
         flat, unravel = jax.flatten_util.ravel_pytree(
-            (self._template.physics.qpos, self._template.physics.qvel, grip0)
+            (self._template.physics.qpos, self._template.physics.qvel,
+             self._grips_of(self._template.ctrl))
         )
         self._unravel_x = unravel
         self.nx = flat.shape[0]
 
     # -- EnvState <-> iLQR state ------------------------------------------------
+    @staticmethod
+    def _grips_of(ctrl):
+        if isinstance(ctrl, tuple):
+            return tuple(cs.gripper_action for cs in ctrl)
+        return ctrl.gripper_action
+
     def _to_x(self, env_state):
         return jax.flatten_util.ravel_pytree(
-            (env_state.physics.qpos, env_state.physics.qvel, env_state.ctrl.gripper_action)
+            (env_state.physics.qpos, env_state.physics.qvel,
+             self._grips_of(env_state.ctrl))
         )[0]
 
     def _to_env_state(self, x):
         qpos, qvel, grip = self._unravel_x(x)
         t = self._template
+        if isinstance(t.ctrl, tuple):
+            ctrl = tuple(cs.replace(gripper_action=g) for cs, g in zip(t.ctrl, grip))
+        else:
+            ctrl = t.ctrl.replace(gripper_action=grip)
         return t.replace(
             physics=t.physics.replace(qpos=qpos, qvel=qvel),
-            ctrl=t.ctrl.replace(gripper_action=grip),
+            ctrl=ctrl,
         )
 
     # -- planning dynamics -------------------------------------------------------
@@ -146,8 +162,13 @@ class RecedingMPC:
 
     def _ilqr_dynamics(self, x, u):
         if not hasattr(self, "_plan_dyn_fn"):
+            fd_model = self.plan_model.replace(
+                solver_iters=self.cfg.fd_solver_iters,
+                solver_power_iters=self.cfg.fd_power_iters,
+            )
+            self._fd_model = fd_model  # keep the ref: fused cache keys on id
             self._plan_dyn_fn = self.env.make_plan_dynamics(
-                self.plan_model, self.plan_substeps
+                fd_model, self.plan_substeps
             )
         es = self._plan_dyn_fn(self._to_env_state(x), u)
         return self._to_x(es)

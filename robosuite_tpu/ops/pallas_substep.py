@@ -71,8 +71,10 @@ class UnsupportedFused(Exception):
 
 @dataclasses.dataclass(frozen=True)
 class ArmOSCSpec:
-    """Static per-arm OSC data baked into the kernel (indices + constants).
-    kp/kd arrive as runtime inputs so variable-impedance modes work."""
+    """Static per-arm controller data baked into the kernel (indices +
+    constants). kp/kd arrive as runtime inputs so variable-impedance modes
+    work. ctrl_type selects the in-kernel law: "osc" (run_world analog) or
+    "joint_pos" (tau = M (kp e - kd qdot) + bias, joint_pos.py:233-272)."""
 
     qv_idx: Tuple[int, ...]
     qp_idx: Tuple[int, ...]
@@ -83,6 +85,8 @@ class ArmOSCSpec:
     torque_hi: Tuple[float, ...]
     initial_joint: Tuple[float, ...]
     uncouple: bool
+    ctrl_type: str = "osc"
+    use_torque_compensation: bool = True
 
 
 @dataclasses.dataclass(frozen=True)
@@ -120,9 +124,15 @@ def extract_spec(env, model) -> FusedSpec:
         raise UnsupportedFused("WBIK composite")
     if len(robot.arms) != 1:
         raise UnsupportedFused("multi-arm")
+    from robosuite_tpu.controllers.parts import joint_pos as jp_mod
+
     arm = robot.arms[0]
     cfg = robot.arm_cfg[arm]
-    if not isinstance(cfg, osc_mod.OSCConfig):
+    if isinstance(cfg, osc_mod.OSCConfig):
+        ctrl_type = "osc"
+    elif isinstance(cfg, jp_mod.JointPosConfig):
+        ctrl_type = "joint_pos"
+    else:
         raise UnsupportedFused(f"arm controller {type(cfg).__name__}")
     pairs = _pair_meta(model)  # raises on unsupported pair types
     # VMEM budget: the solver holds JfT + MinvJT + iterate temps, each
@@ -146,7 +156,9 @@ def extract_spec(env, model) -> FusedSpec:
             torque_lo=tuple(float(x) for x in np.asarray(lo)),
             torque_hi=tuple(float(x) for x in np.asarray(hi)),
             initial_joint=tuple(float(x) for x in np.asarray(robot.initial_joint[arm])),
-            uncouple=bool(cfg.uncouple_pos_ori),
+            uncouple=bool(getattr(cfg, "uncouple_pos_ori", True)),
+            ctrl_type=ctrl_type,
+            use_torque_compensation=bool(getattr(cfg, "use_torque_compensation", True)),
         ),
         grip_actuators=grip_acts,
     )
@@ -639,7 +651,7 @@ def _make_substep_kernel(model, spec: FusedSpec, solver_iters: int, power_iters:
     geom_quat_c = np.asarray(model.geom_quat, dtype=np.float32)
 
     def kernel(qpos_ref, qvel_ref, mass_ref, inertia_ref, grav_ref, arma_ref,
-               despos_ref, desori_ref, kp_ref, kd_ref, grip_ref,
+               goal_ref, gains_ref, grip_ref,
                qpos_out, qvel_out, f_out, *aux_out):
         dtype = qpos_ref.dtype
         q = [qpos_ref[i] for i in range(nq)]
@@ -653,13 +665,258 @@ def _make_substep_kernel(model, spec: FusedSpec, solver_iters: int, power_iters:
         fw = forward_lane_body(model, q, qd, mass, inertia, grav, arma, dtype)
         one, zero = fw.one, fw.zero
 
+        def _finish(fw, q, qd, tau, grip_ref, qpos_out, qvel_out, f_out,
+                    aux_out, dtype, one, zero):
+            # full ctrl vector
+            ctrl = [zero] * nu
+            for i, a in enumerate(arm.actuator_ids):
+                ctrl[a] = tau[i]
+            for i, a in enumerate(spec.grip_actuators):
+                ctrl[a] = grip_ref[i]
+
+            # ---- smooth forces (engine._total_smooth_force, lane form) ---------
+            qfrc = [zero] * nv
+            for a in range(nu):
+                c = ctrl[a]
+                if act_ctrllim[a]:
+                    c = jnp.clip(c, act_ctrlrange[a, 0], act_ctrlrange[a, 1])
+                gear = act_gear[a]
+                kind = act_kind[a]
+                if kind == "motor":
+                    force = c
+                elif kind == "position":
+                    force = act_gain[a] * (c - gear * q[act_qadr[a]])
+                elif kind == "velocity":
+                    force = act_gain[a] * (c - gear * qd[act_dadr[a]])
+                else:
+                    raise UnsupportedFused(f"actuator kind {kind}")
+                if act_forcelim[a]:
+                    force = jnp.clip(force, act_forcerange[a, 0], act_forcerange[a, 1])
+                qfrc[act_dadr[a]] = qfrc[act_dadr[a]] + gear * force
+
+            extra_damp = [zero] * nv
+            for qa, da, j in zip(qadr1, dadr1, jids1):
+                if jnt_stiff[j] != 0.0:
+                    qfrc[da] = qfrc[da] - jnt_stiff[j] * (q[qa] - qpos_spring[qa])
+                if jnt_limited[j]:
+                    # joint_limit_forces: mass-scaled compliant law
+                    tc, dr = 0.02, 1.0
+                    m_eff = fw.M_rows[da][da]
+                    d_imp, dmax = 0.9, 0.95
+                    k_l = d_imp / (dmax * dmax * tc * tc * dr * dr) * m_eff
+                    b_l = 2.0 / (dmax * tc) * m_eff
+                    d_lo = jnt_range[j, 0] - q[qa]
+                    d_hi = q[qa] - jnt_range[j, 1]
+                    qfrc[da] = qfrc[da] + k_l * (jnp.maximum(d_lo, 0.0) - jnp.maximum(d_hi, 0.0))
+                    lim_act = ((d_lo > 0) | (d_hi > 0)).astype(dtype)
+                    extra_damp[da] = extra_damp[da] + lim_act * b_l
+            for d in range(nv):
+                if dof_fric[d] != 0.0:
+                    qfrc[d] = qfrc[d] - dof_fric[d] * jnp.tanh(qd[d] / 0.005)
+                qfrc[d] = qfrc[d] - fw.bias[d]
+
+            damping = [dof_damp[d] + extra_damp[d] for d in range(nv)]
+
+            # ---- narrowphase + rows (contact.py analogs) -----------------------
+            rows = []     # per row: (pen, pos, n_unit, t1, t2, meta dict)
+            for p in pairs:
+                t1t, t2t = p["types"]
+                fn = _LANE_DISPATCH[(t1t, t2t)]
+                g1, g2 = p["g1"], p["g2"]
+                p1, R1 = fw.geom_pose(g1)
+                p2, R2 = fw.geom_pose(g2)
+                s1 = tuple(float(x) for x in geom_size[g1])
+                s2 = tuple(float(x) for x in geom_size[g2])
+                cands = fn(p1, R1, s1, p2, R2, s2)
+                if p["flip"]:
+                    cands = [(d, pos, tuple(-x for x in n)) for d, pos, n in cands]
+                cands = _select_deepest(cands, p["npts"])
+                for d, pos, n in cands:
+                    # normalize + tangent frame (contact.narrowphase tail)
+                    nn = jnp.maximum(_norm3(n), 1e-9)
+                    n_u = tuple(n[i] / nn for i in range(3))
+                    use_ex = jnp.abs(n_u[0]) < 0.5
+                    ref = (use_ex.astype(dtype), (~use_ex).astype(dtype), zero)
+                    t1v = _cross(n_u, ref)
+                    tn = jnp.maximum(_norm3(t1v), 1e-9)
+                    t1v = tuple(t1v[i] / tn for i in range(3))
+                    t2v = _cross(n_u, t1v)
+                    rows.append((d, pos, n_u, t1v, t2v, p))
+
+            # per-row impedance/J/aref
+            def impedance(solimp, x):
+                d0, dmax, width, mid, pw = solimp
+                xw = jnp.clip(x / max(width, 1e-9), 0.0, 1.0)
+                a = 1.0 / max(mid, 1e-9) ** (pw - 1.0)
+                b = 1.0 / max(1.0 - mid, 1e-9) ** (pw - 1.0)
+                y = jnp.where(xw < mid, a * xw ** pw, 1.0 - b * (1.0 - xw) ** pw)
+                return d0 + y * (dmax - d0)
+
+            Jn_rows, Jt1_rows, Jt2_rows = [], [], []
+            aref_n_rows, aref_t1_rows, aref_t2_rows = [], [], []
+            regn_rows, regt_rows, mu_rows, act_rows = [], [], [], []
+            for (dist, pos, n_u, t1v, t2v, p) in rows:
+                dofs = [(d_, float(anc[p["body2"], d_] - anc[p["body1"], d_]))
+                        for d_ in range(nv)
+                        if anc[p["body2"], d_] != anc[p["body1"], d_]]
+                Jn = [zero] * nv
+                Jt1 = [zero] * nv
+                Jt2 = [zero] * nv
+                vel_n, vel_t1, vel_t2 = zero, zero, zero
+                for d_, sgn in dofs:
+                    jl = _add(fw.sdof_lin[d_], _cross(fw.sdof_ang[d_], pos))
+                    Jn[d_] = sgn * _dot(n_u, jl)
+                    Jt1[d_] = sgn * _dot(t1v, jl)
+                    Jt2[d_] = sgn * _dot(t2v, jl)
+                    vel_n = vel_n + Jn[d_] * qd[d_]
+                    vel_t1 = vel_t1 + Jt1[d_] * qd[d_]
+                    vel_t2 = vel_t2 + Jt2[d_] * qd[d_]
+                pen = -(dist - p["margin"])
+                active = (pen > 0.0).astype(dtype)
+                d_i = jnp.clip(impedance(p["solimp"], pen), 1e-4, 1.0 - 1e-4)
+                tc = max(p["solref"][0], 2.0 * dt)
+                dr = max(p["solref"][1], 1e-3)
+                dmax = min(max(p["solimp"][1], 1e-4), 1.0 - 1e-4)
+                k_ = d_i / (dmax * dmax * tc * tc * dr * dr)
+                b_ = 2.0 / (dmax * tc)
+                reg_base = (1.0 - d_i) / d_i
+                Jn_rows.append(Jn)
+                Jt1_rows.append(Jt1)
+                Jt2_rows.append(Jt2)
+                aref_n_rows.append(-b_ * vel_n + k_ * pen)
+                aref_t1_rows.append(-b_ * vel_t1)
+                aref_t2_rows.append(-b_ * vel_t2)
+                regn_rows.append(reg_base)
+                regt_rows.append(reg_base / impratio)
+                mu_rows.append(p["friction"] * one)
+                act_rows.append(active)
+
+            # assemble grouped (ntot, LANES) arrays: [normals | t1 | t2]
+            JfT = jnp.stack([
+                jnp.stack([Jr[i] for Jr in Jn_rows + Jt1_rows + Jt2_rows])
+                for i in range(nv)
+            ])  # (nv, ntot, LANES)
+            aref = jnp.stack(aref_n_rows + aref_t1_rows + aref_t2_rows)
+            reg3 = jnp.stack(regn_rows + regt_rows + regt_rows)
+            mu = jnp.stack(mu_rows)
+            act = jnp.stack(act_rows)
+
+            A_rows = fw.M_rows
+            qvel_new, f = constrained_vel_lanes(
+                nv, ntot, nrows, 0, solver_iters, power_iters, dt,
+                A_rows, damping, qd, qfrc, JfT, aref, reg3, mu, act,
+            )
+
+            # ---- integrate qpos (engine._integrate_qpos, lane form) ------------
+            q_out = list(q)
+            for qa, da, j in zip(qadr1, dadr1, jids1):
+                q_out[qa] = q_out[qa] + dt * qvel_new[da]
+            for j in free_jnts:
+                qa, da = int(model.jnt_qposadr[j]), int(model.jnt_dofadr[j])
+                for i in range(3):
+                    q_out[qa + i] = q_out[qa + i] + dt * qvel_new[da + i]
+            for j in free_jnts + ball_jnts:
+                is_free = model.jnt_type[j] == S.FREE
+                qa = int(model.jnt_qposadr[j]) + (3 if is_free else 0)
+                da = int(model.jnt_dofadr[j]) + (3 if is_free else 0)
+                # quat_integrate_wxyz on lanes
+                v = tuple(qvel_new[da + i] * dt for i in range(3))
+                sq = v[0] * v[0] + v[1] * v[1] + v[2] * v[2]
+                small = sq < 1e-12
+                safe = jnp.where(small, 1.0, sq)
+                ang = jnp.sqrt(safe)
+                kk = jnp.where(small, 0.5 - sq / 48.0, jnp.sin(ang / 2.0) / ang)
+                w_ = jnp.where(small, 1.0 - sq / 8.0, jnp.cos(ang / 2.0))
+                dq = (w_, v[0] * kk, v[1] * kk, v[2] * kk)
+                qq = (q_out[qa], q_out[qa + 1], q_out[qa + 2], q_out[qa + 3])
+                o = _quat_mul(qq, dq)
+                nrm = jnp.maximum(jnp.sqrt(o[0] ** 2 + o[1] ** 2 + o[2] ** 2 + o[3] ** 2), 1e-12)
+                for i in range(4):
+                    q_out[qa + i] = o[i] / nrm
+
+            qpos_out[...] = jnp.stack(q_out)
+            qvel_out[...] = jnp.stack(qvel_new)
+            f_out[...] = f
+
+            if emit_aux:
+                # POST-step aux: pose-only FK on the integrated qpos, site/body
+                # poses + per-pair min distances. Feeds the planning rollout's
+                # next set_goals and this step's reward without a separate
+                # forward-products kernel call. (The unused pos/normal math in
+                # the reused narrowphase primitives is DCE'd at lowering.)
+                sx_out, sm_out, bx_out, pd_out = aux_out
+                xpos2, xquat2 = _fk_pose_lane(model, q_out, one, zero)
+                xmat2 = {}
+
+                def bmat(b):
+                    if b not in xmat2:
+                        xmat2[b] = _quat2mat(xquat2[b])
+                    return xmat2[b]
+
+                def c3(arr):
+                    return (arr[0] * one, arr[1] * one, arr[2] * one)
+
+                def c4(arr):
+                    return (arr[0] * one, arr[1] * one, arr[2] * one, arr[3] * one)
+
+                from robosuite_tpu.ops.pallas_forward import _quat_rot
+
+                for s_i in range(nsite):
+                    b = model.site_bodyid[s_i]
+                    sp2 = _add(xpos2[b], _quat_rot(xquat2[b], c3(site_pos_c[s_i])))
+                    sR2 = _quat2mat(_quat_mul(xquat2[b], c4(site_quat_c[s_i])))
+                    for i in range(3):
+                        sx_out[s_i * 3 + i] = sp2[i]
+                        for jj in range(3):
+                            sm_out[s_i * 9 + i * 3 + jj] = sR2[i][jj]
+                for b in range(nb):
+                    for i in range(3):
+                        bx_out[b * 3 + i] = xpos2[b][i]
+                for pi, p in enumerate(pairs):
+                    g1, g2 = p["g1"], p["g2"]
+                    b1g, b2g = model.geom_bodyid[g1], model.geom_bodyid[g2]
+                    gp1 = _add(xpos2[b1g], _quat_rot(xquat2[b1g], c3(geom_pos_c[g1])))
+                    gR1 = _quat2mat(_quat_mul(xquat2[b1g], c4(geom_quat_c[g1])))
+                    gp2 = _add(xpos2[b2g], _quat_rot(xquat2[b2g], c3(geom_pos_c[g2])))
+                    gR2 = _quat2mat(_quat_mul(xquat2[b2g], c4(geom_quat_c[g2])))
+                    s1 = tuple(float(x) for x in geom_size[g1])
+                    s2 = tuple(float(x) for x in geom_size[g2])
+                    fn = _LANE_DISPATCH[p["types"]]
+                    cands = fn(gp1, gR1, s1, gp2, gR2, s2)
+                    dmin = cands[0][0]
+                    for d_, _, _ in cands[1:]:
+                        dmin = jnp.minimum(dmin, d_)
+                    pd_out[pi] = dmin
+
+
+
+        if arm.ctrl_type == "joint_pos":
+            # ---- JOINT_POSITION law (reference joint_pos.py:233-272) -------
+            goal_q = [goal_ref[i] for i in range(na)]
+            kp_j = [gains_ref[i] for i in range(na)]
+            kd_j = [gains_ref[na + i] for i in range(na)]
+            des = [kp_j[i] * (goal_q[i] - q[arm.qp_idx[i]]) - kd_j[i] * qd[arm.qv_idx[i]]
+                   for i in range(na)]
+            tau = [None] * na
+            Ma_jp = [[fw.M_rows[arm.qv_idx[i]][arm.qv_idx[j]] for j in range(na)]
+                     for i in range(na)]
+            for i in range(na):
+                s = Ma_jp[i][0] * des[0]
+                for j in range(1, na):
+                    s = s + Ma_jp[i][j] * des[j]
+                tau[i] = s + (fw.bias[arm.qv_idx[i]] if arm.use_torque_compensation else zero)
+            for i in range(na):
+                tau[i] = jnp.clip(tau[i], arm.torque_lo[i], arm.torque_hi[i])
+            return _finish(fw, q, qd, tau, grip_ref, qpos_out, qvel_out, f_out,
+                           aux_out, dtype, one, zero)
+
         # ---- OSC torque law (reference osc.py:437-495, lane form) ----------
         sp, sR = fw.site_pose(arm.eef_site)
         op, oR = fw.site_pose(arm.center_site)
-        desired_pos = (despos_ref[0], despos_ref[1], despos_ref[2])
-        desired_ori = tuple(tuple(desori_ref[i * 3 + j] for j in range(3)) for i in range(3))
-        kp6 = [kp_ref[i] for i in range(6)]
-        kd6 = [kd_ref[i] for i in range(6)]
+        desired_pos = (goal_ref[0], goal_ref[1], goal_ref[2])
+        desired_ori = tuple(tuple(goal_ref[3 + i * 3 + j] for j in range(3)) for i in range(3))
+        kp6 = [gains_ref[i] for i in range(6)]
+        kd6 = [gains_ref[6 + i] for i in range(6)]
 
         # orientation error: 0.5 * sum_i cross(current_col_i, desired_col_i)
         oe = (zero, zero, zero)
@@ -818,226 +1075,8 @@ def _make_substep_kernel(model, spec: FusedSpec, solver_iters: int, power_iters:
         for i in range(na):
             tau[i] = jnp.clip(tau[i], arm.torque_lo[i], arm.torque_hi[i])
 
-        # full ctrl vector
-        ctrl = [zero] * nu
-        for i, a in enumerate(arm.actuator_ids):
-            ctrl[a] = tau[i]
-        for i, a in enumerate(spec.grip_actuators):
-            ctrl[a] = grip_ref[i]
-
-        # ---- smooth forces (engine._total_smooth_force, lane form) ---------
-        qfrc = [zero] * nv
-        for a in range(nu):
-            c = ctrl[a]
-            if act_ctrllim[a]:
-                c = jnp.clip(c, act_ctrlrange[a, 0], act_ctrlrange[a, 1])
-            gear = act_gear[a]
-            kind = act_kind[a]
-            if kind == "motor":
-                force = c
-            elif kind == "position":
-                force = act_gain[a] * (c - gear * q[act_qadr[a]])
-            elif kind == "velocity":
-                force = act_gain[a] * (c - gear * qd[act_dadr[a]])
-            else:
-                raise UnsupportedFused(f"actuator kind {kind}")
-            if act_forcelim[a]:
-                force = jnp.clip(force, act_forcerange[a, 0], act_forcerange[a, 1])
-            qfrc[act_dadr[a]] = qfrc[act_dadr[a]] + gear * force
-
-        extra_damp = [zero] * nv
-        for qa, da, j in zip(qadr1, dadr1, jids1):
-            if jnt_stiff[j] != 0.0:
-                qfrc[da] = qfrc[da] - jnt_stiff[j] * (q[qa] - qpos_spring[qa])
-            if jnt_limited[j]:
-                # joint_limit_forces: mass-scaled compliant law
-                tc, dr = 0.02, 1.0
-                m_eff = fw.M_rows[da][da]
-                d_imp, dmax = 0.9, 0.95
-                k_l = d_imp / (dmax * dmax * tc * tc * dr * dr) * m_eff
-                b_l = 2.0 / (dmax * tc) * m_eff
-                d_lo = jnt_range[j, 0] - q[qa]
-                d_hi = q[qa] - jnt_range[j, 1]
-                qfrc[da] = qfrc[da] + k_l * (jnp.maximum(d_lo, 0.0) - jnp.maximum(d_hi, 0.0))
-                lim_act = ((d_lo > 0) | (d_hi > 0)).astype(dtype)
-                extra_damp[da] = extra_damp[da] + lim_act * b_l
-        for d in range(nv):
-            if dof_fric[d] != 0.0:
-                qfrc[d] = qfrc[d] - dof_fric[d] * jnp.tanh(qd[d] / 0.005)
-            qfrc[d] = qfrc[d] - fw.bias[d]
-
-        damping = [dof_damp[d] + extra_damp[d] for d in range(nv)]
-
-        # ---- narrowphase + rows (contact.py analogs) -----------------------
-        rows = []     # per row: (pen, pos, n_unit, t1, t2, meta dict)
-        for p in pairs:
-            t1t, t2t = p["types"]
-            fn = _LANE_DISPATCH[(t1t, t2t)]
-            g1, g2 = p["g1"], p["g2"]
-            p1, R1 = fw.geom_pose(g1)
-            p2, R2 = fw.geom_pose(g2)
-            s1 = tuple(float(x) for x in geom_size[g1])
-            s2 = tuple(float(x) for x in geom_size[g2])
-            cands = fn(p1, R1, s1, p2, R2, s2)
-            if p["flip"]:
-                cands = [(d, pos, tuple(-x for x in n)) for d, pos, n in cands]
-            cands = _select_deepest(cands, p["npts"])
-            for d, pos, n in cands:
-                # normalize + tangent frame (contact.narrowphase tail)
-                nn = jnp.maximum(_norm3(n), 1e-9)
-                n_u = tuple(n[i] / nn for i in range(3))
-                use_ex = jnp.abs(n_u[0]) < 0.5
-                ref = (use_ex.astype(dtype), (~use_ex).astype(dtype), zero)
-                t1v = _cross(n_u, ref)
-                tn = jnp.maximum(_norm3(t1v), 1e-9)
-                t1v = tuple(t1v[i] / tn for i in range(3))
-                t2v = _cross(n_u, t1v)
-                rows.append((d, pos, n_u, t1v, t2v, p))
-
-        # per-row impedance/J/aref
-        def impedance(solimp, x):
-            d0, dmax, width, mid, pw = solimp
-            xw = jnp.clip(x / max(width, 1e-9), 0.0, 1.0)
-            a = 1.0 / max(mid, 1e-9) ** (pw - 1.0)
-            b = 1.0 / max(1.0 - mid, 1e-9) ** (pw - 1.0)
-            y = jnp.where(xw < mid, a * xw ** pw, 1.0 - b * (1.0 - xw) ** pw)
-            return d0 + y * (dmax - d0)
-
-        Jn_rows, Jt1_rows, Jt2_rows = [], [], []
-        aref_n_rows, aref_t1_rows, aref_t2_rows = [], [], []
-        regn_rows, regt_rows, mu_rows, act_rows = [], [], [], []
-        for (dist, pos, n_u, t1v, t2v, p) in rows:
-            dofs = [(d_, float(anc[p["body2"], d_] - anc[p["body1"], d_]))
-                    for d_ in range(nv)
-                    if anc[p["body2"], d_] != anc[p["body1"], d_]]
-            Jn = [zero] * nv
-            Jt1 = [zero] * nv
-            Jt2 = [zero] * nv
-            vel_n, vel_t1, vel_t2 = zero, zero, zero
-            for d_, sgn in dofs:
-                jl = _add(fw.sdof_lin[d_], _cross(fw.sdof_ang[d_], pos))
-                Jn[d_] = sgn * _dot(n_u, jl)
-                Jt1[d_] = sgn * _dot(t1v, jl)
-                Jt2[d_] = sgn * _dot(t2v, jl)
-                vel_n = vel_n + Jn[d_] * qd[d_]
-                vel_t1 = vel_t1 + Jt1[d_] * qd[d_]
-                vel_t2 = vel_t2 + Jt2[d_] * qd[d_]
-            pen = -(dist - p["margin"])
-            active = (pen > 0.0).astype(dtype)
-            d_i = jnp.clip(impedance(p["solimp"], pen), 1e-4, 1.0 - 1e-4)
-            tc = max(p["solref"][0], 2.0 * dt)
-            dr = max(p["solref"][1], 1e-3)
-            dmax = min(max(p["solimp"][1], 1e-4), 1.0 - 1e-4)
-            k_ = d_i / (dmax * dmax * tc * tc * dr * dr)
-            b_ = 2.0 / (dmax * tc)
-            reg_base = (1.0 - d_i) / d_i
-            Jn_rows.append(Jn)
-            Jt1_rows.append(Jt1)
-            Jt2_rows.append(Jt2)
-            aref_n_rows.append(-b_ * vel_n + k_ * pen)
-            aref_t1_rows.append(-b_ * vel_t1)
-            aref_t2_rows.append(-b_ * vel_t2)
-            regn_rows.append(reg_base)
-            regt_rows.append(reg_base / impratio)
-            mu_rows.append(p["friction"] * one)
-            act_rows.append(active)
-
-        # assemble grouped (ntot, LANES) arrays: [normals | t1 | t2]
-        JfT = jnp.stack([
-            jnp.stack([Jr[i] for Jr in Jn_rows + Jt1_rows + Jt2_rows])
-            for i in range(nv)
-        ])  # (nv, ntot, LANES)
-        aref = jnp.stack(aref_n_rows + aref_t1_rows + aref_t2_rows)
-        reg3 = jnp.stack(regn_rows + regt_rows + regt_rows)
-        mu = jnp.stack(mu_rows)
-        act = jnp.stack(act_rows)
-
-        A_rows = fw.M_rows
-        qvel_new, f = constrained_vel_lanes(
-            nv, ntot, nrows, 0, solver_iters, power_iters, dt,
-            A_rows, damping, qd, qfrc, JfT, aref, reg3, mu, act,
-        )
-
-        # ---- integrate qpos (engine._integrate_qpos, lane form) ------------
-        q_out = list(q)
-        for qa, da, j in zip(qadr1, dadr1, jids1):
-            q_out[qa] = q_out[qa] + dt * qvel_new[da]
-        for j in free_jnts:
-            qa, da = int(model.jnt_qposadr[j]), int(model.jnt_dofadr[j])
-            for i in range(3):
-                q_out[qa + i] = q_out[qa + i] + dt * qvel_new[da + i]
-        for j in free_jnts + ball_jnts:
-            is_free = model.jnt_type[j] == S.FREE
-            qa = int(model.jnt_qposadr[j]) + (3 if is_free else 0)
-            da = int(model.jnt_dofadr[j]) + (3 if is_free else 0)
-            # quat_integrate_wxyz on lanes
-            v = tuple(qvel_new[da + i] * dt for i in range(3))
-            sq = v[0] * v[0] + v[1] * v[1] + v[2] * v[2]
-            small = sq < 1e-12
-            safe = jnp.where(small, 1.0, sq)
-            ang = jnp.sqrt(safe)
-            kk = jnp.where(small, 0.5 - sq / 48.0, jnp.sin(ang / 2.0) / ang)
-            w_ = jnp.where(small, 1.0 - sq / 8.0, jnp.cos(ang / 2.0))
-            dq = (w_, v[0] * kk, v[1] * kk, v[2] * kk)
-            qq = (q_out[qa], q_out[qa + 1], q_out[qa + 2], q_out[qa + 3])
-            o = _quat_mul(qq, dq)
-            nrm = jnp.maximum(jnp.sqrt(o[0] ** 2 + o[1] ** 2 + o[2] ** 2 + o[3] ** 2), 1e-12)
-            for i in range(4):
-                q_out[qa + i] = o[i] / nrm
-
-        qpos_out[...] = jnp.stack(q_out)
-        qvel_out[...] = jnp.stack(qvel_new)
-        f_out[...] = f
-
-        if emit_aux:
-            # POST-step aux: pose-only FK on the integrated qpos, site/body
-            # poses + per-pair min distances. Feeds the planning rollout's
-            # next set_goals and this step's reward without a separate
-            # forward-products kernel call. (The unused pos/normal math in
-            # the reused narrowphase primitives is DCE'd at lowering.)
-            sx_out, sm_out, bx_out, pd_out = aux_out
-            xpos2, xquat2 = _fk_pose_lane(model, q_out, one, zero)
-            xmat2 = {}
-
-            def bmat(b):
-                if b not in xmat2:
-                    xmat2[b] = _quat2mat(xquat2[b])
-                return xmat2[b]
-
-            def c3(arr):
-                return (arr[0] * one, arr[1] * one, arr[2] * one)
-
-            def c4(arr):
-                return (arr[0] * one, arr[1] * one, arr[2] * one, arr[3] * one)
-
-            from robosuite_tpu.ops.pallas_forward import _quat_rot
-
-            for s_i in range(nsite):
-                b = model.site_bodyid[s_i]
-                sp2 = _add(xpos2[b], _quat_rot(xquat2[b], c3(site_pos_c[s_i])))
-                sR2 = _quat2mat(_quat_mul(xquat2[b], c4(site_quat_c[s_i])))
-                for i in range(3):
-                    sx_out[s_i * 3 + i] = sp2[i]
-                    for jj in range(3):
-                        sm_out[s_i * 9 + i * 3 + jj] = sR2[i][jj]
-            for b in range(nb):
-                for i in range(3):
-                    bx_out[b * 3 + i] = xpos2[b][i]
-            for pi, p in enumerate(pairs):
-                g1, g2 = p["g1"], p["g2"]
-                b1g, b2g = model.geom_bodyid[g1], model.geom_bodyid[g2]
-                gp1 = _add(xpos2[b1g], _quat_rot(xquat2[b1g], c3(geom_pos_c[g1])))
-                gR1 = _quat2mat(_quat_mul(xquat2[b1g], c4(geom_quat_c[g1])))
-                gp2 = _add(xpos2[b2g], _quat_rot(xquat2[b2g], c3(geom_pos_c[g2])))
-                gR2 = _quat2mat(_quat_mul(xquat2[b2g], c4(geom_quat_c[g2])))
-                s1 = tuple(float(x) for x in geom_size[g1])
-                s2 = tuple(float(x) for x in geom_size[g2])
-                fn = _LANE_DISPATCH[p["types"]]
-                cands = fn(gp1, gR1, s1, gp2, gR2, s2)
-                dmin = cands[0][0]
-                for d_, _, _ in cands[1:]:
-                    dmin = jnp.minimum(dmin, d_)
-                pd_out[pi] = dmin
+        return _finish(fw, q, qd, tau, grip_ref, qpos_out, qvel_out, f_out,
+                       aux_out, dtype, one, zero)
 
     return kernel, ntot
 
@@ -1064,8 +1103,12 @@ def _pallas_substep(model, spec, solver_iters, power_iters, emit_aux=False):
     if emit_aux:
         out_rows += [max(nsite * 3, 1), max(nsite * 9, 1), nb * 3, max(npair, 1)]
 
+    na = len(spec.arm.qv_idx)
+    ga = 12 if spec.arm.ctrl_type == "osc" else na        # goal rows
+    gk = 12 if spec.arm.ctrl_type == "osc" else 2 * na    # gains rows
+
     @jax.jit
-    def run(qpos, qvel, mass, inertia, gravity, armature, despos, desori, kp, kd, grip):
+    def run(qpos, qvel, mass, inertia, gravity, armature, goal, gains, grip):
         B = qpos.shape[0]
         Bp = ((B + LANES - 1) // LANES) * LANES
         pad = Bp - B
@@ -1077,12 +1120,12 @@ def _pallas_substep(model, spec, solver_iters, power_iters, emit_aux=False):
             return x
 
         args = tuple(prep(a) for a in (qpos, qvel, mass, inertia, gravity,
-                                       armature, despos, desori, kp, kd, grip))
+                                       armature, goal, gains, grip))
         outs = pl.pallas_call(
             kernel,
             grid=(Bp // LANES,),
             in_specs=[spec_(nq), spec_(nv), spec_(nb), spec_(nb, 3), spec_(3),
-                      spec_(nv), spec_(3), spec_(9), spec_(6), spec_(6), spec_(ng)],
+                      spec_(nv), spec_(ga), spec_(gk), spec_(ng)],
             out_specs=tuple(spec_(r) for r in out_rows),
             out_shape=tuple(
                 jax.ShapeDtypeStruct((r, Bp), qpos.dtype) for r in out_rows
@@ -1109,32 +1152,35 @@ def make_fused_substep(env, model, robot=None, emit_aux=False):
     """Build the fused substep callable for (env, model):
 
         substep(qpos, qvel, mass, inertia, gravity, armature,
-                desired_pos (3,), desired_ori (3,3), kp (6,), kd (6,),
-                grip_ctrl (ng,)) -> (qpos', qvel', f)
-        [emit_aux: ... -> (qpos', qvel', f, site_xpos', site_xmat', xpos',
-                           pair_dist') — POST-step poses + per-pair min
-         distances for planning rollouts that skip forward_products]
+                goal, gains, grip_ctrl (ng,)) -> (qpos', qvel', f)
+
+    goal/gains encode the arm controller's tick-rate targets:
+      OSC:            goal (12,) = [desired_pos(3), desired_ori.flat(9)],
+                      gains (12,) = [kp(6), kd(6)]
+      JOINT_POSITION: goal (na,) = goal_qpos, gains (2na,) = [kp, kd]
+    [emit_aux: ... -> (qpos', qvel', f, site_xpos', site_xmat', xpos',
+                       pair_dist') — POST-step poses + per-pair min
+     distances for planning rollouts that skip forward_products]
 
     Raises UnsupportedFused when the world/controller combination is not
     covered. custom_vmap: batched TPU calls run the megakernel; unbatched /
     non-TPU calls run the XLA composition of the exact same per-module
-    functions (forward products, osc.run_world, engine.integrate)."""
+    functions (forward products, osc.run_world / joint_pos.run,
+    engine.integrate)."""
     spec = extract_spec(env, model)
     robot = env.robots[0] if robot is None else robot
     arm_name = robot.arms[0]
     cfg = robot.arm_cfg[arm_name]
     arm = spec.arm
+    na = len(arm.qv_idx)
     from robosuite_tpu.physics import contact as C
 
     solver_iters = model.solver_iters if model.solver_iters is not None else C.APGD_ITERS
-    power_iters = C.POWER_ITERS
+    power_iters = model.solver_power_iters if model.solver_power_iters is not None else C.POWER_ITERS
     ng = max(len(spec.grip_actuators), 1)
-    if spec.grip_actuators:
-        aid = np.asarray(spec.grip_actuators)
-        amin = np.asarray(model.actuator_ctrlrange)[aid, 0]
-        amax = np.asarray(model.actuator_ctrlrange)[aid, 1]
 
-    def _xla(qpos, qvel, mass, inertia, gravity, armature, despos, desori, kp, kd, grip):
+    def _xla(qpos, qvel, mass, inertia, gravity, armature, goal, gains, grip):
+        from robosuite_tpu.controllers.parts import joint_pos as jp_mod
         from robosuite_tpu.controllers.parts import osc as osc_mod
         from robosuite_tpu.physics import dynamics, engine, kinematics
         from robosuite_tpu.physics.state import State
@@ -1146,7 +1192,12 @@ def make_fused_substep(env, model, robot=None, emit_aux=False):
         M = dynamics.crba(m, kin)
         bias = dynamics.rnea_bias(m, kin, qvel)
         view = robot.arm_view(kin, M, bias, qpos, qvel, arm_name)
-        tau = osc_mod.run_world(cfg, view, despos, desori, kp, kd)
+        if arm.ctrl_type == "joint_pos":
+            jp_state = jp_mod.JointPosState(goal_qpos=goal, kp=gains[:na], kd=gains[na:])
+            tau = jp_mod.run(cfg, jp_state, view)
+        else:
+            tau = osc_mod.run_world(cfg, view, goal[:3], goal[3:].reshape(3, 3),
+                                    gains[:6], gains[6:])
         lo = jnp.asarray(arm.torque_lo, dtype=qpos.dtype)
         hi = jnp.asarray(arm.torque_hi, dtype=qpos.dtype)
         tau = jnp.clip(tau, lo, hi)
@@ -1167,8 +1218,8 @@ def make_fused_substep(env, model, robot=None, emit_aux=False):
     pallas_run_cache = []
 
     @custom_vmap
-    def sub_inner(qpos, qvel, mass, inertia, gravity, armature, despos, desori, kp, kd, grip):
-        return _xla(qpos, qvel, mass, inertia, gravity, armature, despos, desori, kp, kd, grip)
+    def sub_inner(qpos, qvel, mass, inertia, gravity, armature, goal, gains, grip):
+        return _xla(qpos, qvel, mass, inertia, gravity, armature, goal, gains, grip)
 
     @sub_inner.def_vmap
     def _sub_vmap(axis_size, in_batched, *args):
@@ -1184,13 +1235,11 @@ def make_fused_substep(env, model, robot=None, emit_aux=False):
                                              emit_aux=emit_aux)
 
                 def run_flat(qpos, qvel, mass, inertia, gravity, armature,
-                             despos, desori, kp, kd, grip):
-                    # kernel takes desori flattened (9,), grip padded to ng
-                    desori_f = desori.reshape(desori.shape[0], 9)
+                             goal, gains, grip):
                     if grip.shape[-1] < ng:
                         grip = jnp.pad(grip, [(0, 0), (0, ng - grip.shape[-1])])
                     return pallas_run(qpos, qvel, mass, inertia, gravity,
-                                      armature, despos, desori_f, kp, kd, grip)
+                                      armature, goal, gains, grip)
 
                 pallas_run_cache.append(flat_batched(run_flat))
             out = pallas_run_cache[0](*args)
@@ -1199,8 +1248,8 @@ def make_fused_substep(env, model, robot=None, emit_aux=False):
         return out, (True,) * len(out)
 
     @jax.custom_jvp
-    def sub(qpos, qvel, mass, inertia, gravity, armature, despos, desori, kp, kd, grip):
-        return sub_inner(qpos, qvel, mass, inertia, gravity, armature, despos, desori, kp, kd, grip)
+    def sub(qpos, qvel, mass, inertia, gravity, armature, goal, gains, grip):
+        return sub_inner(qpos, qvel, mass, inertia, gravity, armature, goal, gains, grip)
 
     @sub.defjvp
     def _sub_jvp(primals, tangents):

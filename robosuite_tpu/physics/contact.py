@@ -651,7 +651,7 @@ def contact_warmstart_dim(model):
         t1 = model.geom_type[model.pair_geom1[k]]
         t2 = model.geom_type[model.pair_geom2[k]]
         nc_total += pair_points(t1, t2)
-    K = nc_total
+    K = min(nc_total, ROW_CAP)
     ne = 0
     if model.neq:
         from robosuite_tpu.physics.equality import equality_row_count
@@ -719,37 +719,97 @@ def constrained_vel_update(model, kin, con, M, qvel, qfrc_smooth, dt, eq=None, d
     from robosuite_tpu.ops.pallas_contact import make_vel_solver
 
     iters = model.solver_iters if model.solver_iters is not None else APGD_ITERS
-    solver = make_vel_solver(model.nv, ntot, nc, ne, iters, POWER_ITERS, float(dt))
+    piters = model.solver_power_iters if model.solver_power_iters is not None else POWER_ITERS
+    solver = make_vel_solver(model.nv, ntot, nc, ne, iters, piters, float(dt))
     return solver(*args)
+
+
+ROW_CAP = 96  # static-row solver limit; bigger worlds compact (see below)
+
+
+def uses_row_compaction(model) -> bool:
+    """True when this model's candidate buffer exceeds ROW_CAP and the
+    solver therefore compacts active rows into dynamic slots (big worlds:
+    PickPlace/NutAssembly). Row-indexed f-vector consumers (eef wrench)
+    are only valid when this is False."""
+    n = 0
+    for k in range(model.npair):
+        t1 = model.geom_type[model.pair_geom1[k]]
+        t2 = model.geom_type[model.pair_geom2[k]]
+        n += pair_points(t1, t2)
+    return n > ROW_CAP
 
 
 def _solver_inputs_impl(model, kin, con, M, qvel, qfrc_smooth, dt, eq, damping):
     nc_total = con["dist"].shape[0]
     nv = model.nv
 
-    # --- static row layout (no compaction) ----------------------------------
+    # --- row layout ---------------------------------------------------------
     # narrowphase already reduced each pair's manifold to <= MANIFOLD_CAP
-    # deepest points, so the candidate buffer IS the solver's row set: every
-    # row keeps a fixed (pair, point) identity across steps and inactive rows
-    # ride through the solver masked (active = 0 zeroes their force bounds).
-    # This replaced a global prefix-sum one-hot compaction to K=32 slots,
-    # which at MPC batch widths dominated the substep (lane-padded cols
-    # buffer + per-scenario matmul between the two Pallas kernels) and
-    # silently dropped contacts past 32 active rows.
-    dist = con["dist"]
-    margin = con["margin"]
-    pos = con["pos"]
-    normal = con["normal"]
-    friction = con["friction"]
-    solref = con["solref"]
-    solimp = con["solimp"]
-    t1 = con["t1"]
-    t2 = con["t2"]
-    b1 = np.asarray(con["body1"], dtype=np.int32)
-    b2 = np.asarray(con["body2"], dtype=np.int32)
-    dmask = jnp.asarray(model.ancestor_mask[b2] - model.ancestor_mask[b1])  # (nc_total, nv)
-
-    nc = nc_total
+    # deepest points. Small worlds (nc_total <= ROW_CAP) use the candidate
+    # buffer AS the solver row set: every row keeps a fixed (pair, point)
+    # identity and inactive rows ride through masked — no compaction, which
+    # at MPC widths dominated the substep and silently dropped contacts.
+    # BIG worlds (PickPlace: 384 rows, NutAssembly: 680) cannot afford a
+    # dense (3*nc_total)-row dual (the VMEM kernel would not fit and the
+    # XLA path's matvecs balloon), so they keep the prefix-sum one-hot
+    # compaction into ROW_CAP dynamic slots.
+    if nc_total > ROW_CAP:
+        K = ROW_CAP
+        depth_score = -(con["dist"] - con["margin"])
+        act_full = depth_score > 0.0
+        slot = jnp.cumsum(act_full.astype(jnp.int32)) - 1
+        slot = jnp.where(act_full, slot, K)  # inactive / overflow rows drop
+        onehot = (slot[:, None] == jnp.arange(K, dtype=jnp.int32)[None, :]).astype(
+            con["dist"].dtype
+        )
+        b1f = np.asarray(con["body1"], dtype=np.int32)
+        b2f = np.asarray(con["body2"], dtype=np.int32)
+        dmask_full = jnp.asarray(model.ancestor_mask[b2f] - model.ancestor_mask[b1f])
+        fields = [
+            ("dist", con["dist"][:, None]),
+            ("margin", con["margin"][:, None]),
+            ("pos", con["pos"]),
+            ("normal", con["normal"]),
+            ("friction", con["friction"]),
+            ("solref", con["solref"]),
+            ("solimp", con["solimp"]),
+            ("t1", con["t1"]),
+            ("t2", con["t2"]),
+            ("dmask", dmask_full),
+        ]
+        cols = jnp.concatenate([v for _, v in fields], axis=-1)
+        sel_cols = onehot.T @ cols  # (K, D) — the only pass over the full buffer
+        out = {}
+        i = 0
+        for name, v in fields:
+            out[name] = sel_cols[:, i : i + v.shape[-1]]
+            i += v.shape[-1]
+        dist = out["dist"][:, 0]
+        margin = out["margin"][:, 0]
+        pos = out["pos"]
+        normal = out["normal"]
+        friction = out["friction"]
+        solref = out["solref"]
+        solimp = out["solimp"]
+        t1 = out["t1"]
+        t2 = out["t2"]
+        dmask = out["dmask"]
+        nc = K
+    else:
+        dist = con["dist"]
+        margin = con["margin"]
+        pos = con["pos"]
+        normal = con["normal"]
+        friction = con["friction"]
+        solref = con["solref"]
+        solimp = con["solimp"]
+        t1 = con["t1"]
+        t2 = con["t2"]
+        b1 = np.asarray(con["body1"], dtype=np.int32)
+        b2 = np.asarray(con["body2"], dtype=np.int32)
+        dmask = jnp.asarray(model.ancestor_mask[b2] - model.ancestor_mask[b1])  # (nc_total, nv)
+        nc = nc_total
     # contact jacobians, batched: rows (normal, t1, t2), J (nc, 3, nv)
     jac_lin = kin.sdof_lin[None, :, :] + jnp.cross(
         kin.sdof_ang[None, :, :], pos[:, None, :]
