@@ -58,14 +58,14 @@ def _apgd_xla(JfT, Lm, aref, qacc_smooth, reg3, mu, active, K, ne, iters, power_
     JfT: (nv, ntot) grouped-row constraint Jacobian transpose.
     """
     nv, ntot = JfT.shape
-    Jf = JfT.T
-    # MinvJT via the given Cholesky factor of M
-    from robosuite_tpu.ops import linalg as fastla
-
-    MinvJT = fastla.chol_solve(Lm, JfT)  # solves M X = Jf^T -> (nv, ntot)
-    diagA = jnp.maximum(jnp.sum(JfT * MinvJT, axis=0), 1e-8)
+    # Whitened operator: A = Jf M^-1 Jf^T = Y^T Y with Y = L^-1 Jf^T
+    # (forward substitution only) — HALF the resident memory of the old
+    # JfT + MinvJT pair and the same leading matvec cost; Jf^T f is
+    # recovered as L (Y f).
+    Y = _forward_sub(Lm, JfT)            # (nv, ntot)
+    diagA = jnp.maximum(jnp.sum(Y * Y, axis=0), 1e-8)
     R = reg3 * diagA
-    rhs = aref - Jf @ qacc_smooth
+    rhs = aref - Y.T @ (Lm.T @ qacc_smooth)
 
     def project(x):
         fn = jnp.maximum(x[:K], 0.0) * active
@@ -83,7 +83,7 @@ def _apgd_xla(JfT, Lm, aref, qacc_smooth, reg3, mu, active, K, ne, iters, power_
         return out
 
     def matvec(x):
-        return Jf @ (MinvJT @ x) + R * x
+        return Y.T @ (Y @ x) + R * x
 
     # Power-iterate the ACTIVE submatrix only: APGD iterates live in the
     # active subspace (projection zeroes inactive rows), so the step size
@@ -114,7 +114,19 @@ def _apgd_xla(JfT, Lm, aref, qacc_smooth, reg3, mu, active, K, ne, iters, power_
 
     f0 = jnp.zeros(ntot, dtype=aref.dtype)
     f, _, _ = jax.lax.fori_loop(0, iters, apgd_iter, (f0, f0, jnp.asarray(1.0, dtype=aref.dtype)))
-    return JfT @ f, f
+    return Lm @ (Y @ f), f
+
+
+def _forward_sub(L, B):
+    """Solve L Y = B (lower-triangular forward substitution), B (n, m)."""
+    n = L.shape[-1]
+    y = [None] * n
+    for i in range(n):
+        s = B[i]
+        for k in range(i):
+            s = s - L[i, k] * y[k]
+        y[i] = s / L[i, i]
+    return jnp.stack(y)
 
 
 def _chol_rows(A_rows, n):
@@ -166,36 +178,40 @@ def constrained_vel_lanes(nv, ntot, K, ne, iters, power_iters, dt_step,
         Lr = _chol_rows(A_rows, nv)
         qacc_l = _chol_solve_vec(Lr, [qf[i] - damp[i] * qv[i] for i in range(nv)], nv)
 
-        # ---- MinvJT: solve (L L^T) X = Jf^T, rhs width ntot ---------------
-        # forward substitution L y = Jf^T
+        # ---- whitened operator: Y = L^-1 Jf^T (forward substitution only) --
+        # A = Jf M^-1 Jf^T = Y^T Y: only Y stays resident (HALF the VMEM of
+        # the old JfT + MinvJT pair); Jf^T f is recovered as L (Y f) and
+        # Jf qacc as Y^T (L^T qacc).
         y = [None] * nv
         for i in range(nv):
             s = JfT[i]              # (ntot, 128)
             for k in range(i):
                 s = s - Lr[i][k][None, :] * y[k]
             y[i] = s / Lr[i][i][None, :]
-        x = [None] * nv
-        for i in reversed(range(nv)):
-            s = y[i]
-            for k in range(i + 1, nv):
-                s = s - Lr[k][i][None, :] * x[k]
-            x[i] = s / Lr[i][i][None, :]
-        MinvJT = jnp.stack(x)       # (nv, ntot, 128)
+        Y = jnp.stack(y)            # (nv, ntot, 128)
+        del JfT
 
         # ---- diagA, R, rhs -------------------------------------------------
-        diagA = jnp.maximum(jnp.sum(JfT * MinvJT, axis=0), 1e-8)  # (ntot, 128)
+        diagA = jnp.maximum(jnp.sum(Y * Y, axis=0), 1e-8)  # (ntot, 128)
         R = reg3_a * diagA
+        # v = L^T qacc; a0 = Y^T v
+        vts = [None] * nv
+        for i in range(nv):
+            s = Lr[i][i] * qacc_l[i]
+            for k in range(i + 1, nv):
+                s = s + Lr[k][i] * qacc_l[k]
+            vts[i] = s
         a0 = jnp.zeros((ntot, LANES), dtype=dt)
         for i in range(nv):
-            a0 = a0 + JfT[i] * qacc_l[i][None, :]
+            a0 = a0 + Y[i] * vts[i][None, :]
         rhs = aref_a - a0
 
         def matvec(xv):
-            # t = MinvJT @ xv : contract over rows
-            t = jnp.sum(MinvJT * xv[None, :, :], axis=1)      # (nv, 128)
+            # t = Y @ xv : contract over rows
+            t = jnp.sum(Y * xv[None, :, :], axis=1)           # (nv, 128)
             out = R * xv
             for i in range(nv):
-                out = out + JfT[i] * t[i][None, :]
+                out = out + Y[i] * t[i][None, :]
             return out
 
         def project(xv):
@@ -240,7 +256,14 @@ def constrained_vel_lanes(nv, ntot, K, ne, iters, power_iters, dt_step,
             t_m = t_new
 
         # ---- velocity update: (M + dt diag(damping)) dv = rhs_v ------------
-        qfrc_con = jnp.sum(JfT * f[None, :, :], axis=1)  # (nv, 128)
+        # qfrc_con = Jf^T f = L (Y f)
+        w = jnp.sum(Y * f[None, :, :], axis=1)           # (nv, 128)
+        qfrc_con = [None] * nv
+        for i in range(nv):
+            s = Lr[i][0] * w[0]
+            for k in range(1, i + 1):
+                s = s + Lr[i][k] * w[k]
+            qfrc_con[i] = s
         Ah_rows = [
             [A_rows[i][j] + (dt_step * damp[i] if i == j else 0.0) for j in range(nv)]
             for i in range(nv)

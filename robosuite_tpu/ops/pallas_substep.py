@@ -135,11 +135,13 @@ def extract_spec(env, model) -> FusedSpec:
     else:
         raise UnsupportedFused(f"arm controller {type(cfg).__name__}")
     pairs = _pair_meta(model)  # raises on unsupported pair types
-    # VMEM budget: the solver holds JfT + MinvJT + iterate temps, each
-    # (nv, ntot, 128) f32 per block. ~16 MB/core VMEM caps nv*ntot; bigger
-    # worlds (PickPlace: ntot>1000) need pair-level compaction (future).
-    ntot = 3 * sum(p["npts"] for p in pairs)
-    if model.nv * ntot > 8000:
+    # VMEM budget: the kernel needs the STATIC row layout; worlds whose
+    # solver compacts rows (contact.uses_row_compaction — same predicate)
+    # need in-kernel pair compaction before they can fuse (future).
+    from robosuite_tpu.physics import contact as _C
+
+    if _C.uses_row_compaction(model):
+        ntot = 3 * sum(p["npts"] for p in pairs)
         raise UnsupportedFused(f"solver too large for VMEM (nv*ntot={model.nv * ntot})")
 
     lo, hi = robot.torque_limits[arm]

@@ -651,7 +651,7 @@ def contact_warmstart_dim(model):
         t1 = model.geom_type[model.pair_geom1[k]]
         t2 = model.geom_type[model.pair_geom2[k]]
         nc_total += pair_points(t1, t2)
-    K = min(nc_total, ROW_CAP)
+    K = min(ROW_CAP, nc_total) if uses_row_compaction(model) else nc_total
     ne = 0
     if model.neq:
         from robosuite_tpu.physics.equality import equality_row_count
@@ -724,20 +724,27 @@ def constrained_vel_update(model, kin, con, M, qvel, qfrc_smooth, dt, eq=None, d
     return solver(*args)
 
 
-ROW_CAP = 96  # static-row solver limit; bigger worlds compact (see below)
+ROW_CAP = 96            # compacted slot count for big worlds
+# static-row limit: nv * 3R must fit the VMEM solver. The fused megakernel's
+# peak is dominated by the unrolled row-build liveness (measured: Wipe at
+# nv*3R = 9408 needs ~45 MB scoped VMEM), so the budget stays conservative;
+# PickPlace/NutAssembly/TwoArm/Wipe compact and keep the two-kernel path.
+ROW_VMEM_BUDGET = 8000
 
 
 def uses_row_compaction(model) -> bool:
-    """True when this model's candidate buffer exceeds ROW_CAP and the
-    solver therefore compacts active rows into dynamic slots (big worlds:
-    PickPlace/NutAssembly). Row-indexed f-vector consumers (eef wrench)
-    are only valid when this is False."""
+    """True when this model's static-row solver would not fit the VMEM
+    kernel (nv * 3R > ROW_VMEM_BUDGET) and active rows therefore compact
+    into ROW_CAP dynamic slots (big worlds: PickPlace/NutAssembly). The
+    SAME predicate gates the fused substep megakernel (its row layout must
+    match this module's solver rows exactly). Row-indexed f-vector
+    consumers (eef wrench) are only valid when this is False."""
     n = 0
     for k in range(model.npair):
         t1 = model.geom_type[model.pair_geom1[k]]
         t2 = model.geom_type[model.pair_geom2[k]]
         n += pair_points(t1, t2)
-    return n > ROW_CAP
+    return model.nv * 3 * n > ROW_VMEM_BUDGET
 
 
 def _solver_inputs_impl(model, kin, con, M, qvel, qfrc_smooth, dt, eq, damping):
@@ -754,8 +761,8 @@ def _solver_inputs_impl(model, kin, con, M, qvel, qfrc_smooth, dt, eq, damping):
     # dense (3*nc_total)-row dual (the VMEM kernel would not fit and the
     # XLA path's matvecs balloon), so they keep the prefix-sum one-hot
     # compaction into ROW_CAP dynamic slots.
-    if nc_total > ROW_CAP:
-        K = ROW_CAP
+    if uses_row_compaction(model):
+        K = min(ROW_CAP, nc_total)
         depth_score = -(con["dist"] - con["margin"])
         act_full = depth_score > 0.0
         slot = jnp.cumsum(act_full.astype(jnp.int32)) - 1
