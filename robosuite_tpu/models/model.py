@@ -125,6 +125,17 @@ class Model:
     cam_quat: Any = None          # (ncam, 4)
     cam_fovy: Any = None          # (ncam,)
 
+    # lights (MJCF <light>, reference arenas): raycast shading + USD export
+    nlight: int = _static(default=0)
+    light_bodyid: Tuple[int, ...] = _static(default=())
+    light_names: Tuple[str, ...] = _static(default=())
+    light_pos: Any = None         # (nlight, 3) body-frame position
+    light_dir: Any = None         # (nlight, 3) unit direction
+    light_directional: Any = None # (nlight,) 1 = directional, 0 = point
+    light_diffuse: Any = None     # (nlight, 3)
+    light_ambient: Any = None     # (nlight, 3)
+    light_active: Any = None      # (nlight,) 0/1
+
     actuator_gear: Any = None       # (nu,)
     actuator_ctrlrange: Any = None  # (nu, 2)
     actuator_forcerange: Any = None # (nu, 2)
@@ -484,8 +495,9 @@ def compile_spec(ms: S.ModelSpec, dtype=np.float32) -> Model:
     for i in range(1, nbody):
         body_weldid[i] = i if body_jntnum[i] > 0 else body_weldid[body_parentid[i]]
 
-    # geoms / sites / cameras in body order
+    # geoms / sites / cameras / lights in body order
     geoms, geom_bodyid, sites, site_bodyid, cams, cam_bodyid = [], [], [], [], [], []
+    lights, light_bodyid = [], []
     for i, b in enumerate(bodies):
         for g in b.geoms:
             geoms.append(g)
@@ -496,7 +508,11 @@ def compile_spec(ms: S.ModelSpec, dtype=np.float32) -> Model:
         for c in b.cameras:
             cams.append(c)
             cam_bodyid.append(i)
+        for lt in b.lights:
+            lights.append(lt)
+            light_bodyid.append(i)
     ngeom, nsite, ncam = len(geoms), len(sites), len(cams)
+    nlight = len(lights)
 
     # inertials
     body_mass = np.zeros(nbody)
@@ -793,6 +809,19 @@ def compile_spec(ms: S.ModelSpec, dtype=np.float32) -> Model:
         cam_pos=jnp_(np.stack([c.pos for c in cams]) if ncam else np.zeros((0, 3))),
         cam_quat=jnp_(np.stack([c.quat for c in cams]) if ncam else np.zeros((0, 4))),
         cam_fovy=jnp_([c.fovy for c in cams]),
+        nlight=nlight,
+        light_bodyid=tuple(light_bodyid),
+        light_names=tuple(
+            lt.name or f"light{k}" for k, lt in enumerate(lights)
+        ),
+        light_pos=jnp_(np.stack([lt.pos for lt in lights]) if nlight else np.zeros((0, 3))),
+        light_dir=jnp_(np.stack([lt.dir for lt in lights]) if nlight else np.zeros((0, 3))),
+        light_directional=jnp_(
+            [1.0 if lt.directional else 0.0 for lt in lights]
+        ),
+        light_diffuse=jnp_(np.stack([lt.diffuse for lt in lights]) if nlight else np.zeros((0, 3))),
+        light_ambient=jnp_(np.stack([lt.ambient for lt in lights]) if nlight else np.zeros((0, 3))),
+        light_active=jnp_([1.0 if lt.active else 0.0 for lt in lights]),
         actuator_gear=jnp_(actuator_gear),
         actuator_ctrlrange=jnp_(actuator_ctrlrange),
         actuator_forcerange=jnp_(actuator_forcerange),

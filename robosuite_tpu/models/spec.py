@@ -191,6 +191,32 @@ class CameraSpec:
 
 
 @dataclass
+class LightSpec:
+    """A scene light (MJCF <light>, reference arenas e.g.
+    assets/arenas/table_arena.xml:41). Drives the raycast renderer's
+    shading (renderers/raycast.py) and the USD export (utils/usd/)."""
+
+    name: str = ""
+    pos: Sequence[float] = (0.0, 0.0, 1.5)
+    dir: Sequence[float] = (0.0, 0.0, -1.0)
+    directional: bool = False
+    diffuse: Sequence[float] = (0.7, 0.7, 0.7)
+    specular: Sequence[float] = (0.3, 0.3, 0.3)
+    ambient: Sequence[float] = (0.0, 0.0, 0.0)
+    castshadow: bool = True
+    active: bool = True
+
+    def __post_init__(self):
+        self.pos = _arr(self.pos, 3)
+        d = _arr(self.dir, 3)
+        n = float(np.linalg.norm(d))
+        self.dir = d / n if n > 1e-12 else np.array([0.0, 0.0, -1.0])
+        self.diffuse = _arr(self.diffuse, 3)
+        self.specular = _arr(self.specular, 3)
+        self.ambient = _arr(self.ambient, 3)
+
+
+@dataclass
 class InertialSpec:
     """Explicit body inertia. diaginertia in the inertial frame given by
     pos/quat; fullinertia is (ixx, iyy, izz, ixy, ixz, iyz) like MJCF."""
@@ -222,6 +248,7 @@ class BodySpec:
     geoms: List[GeomSpec] = field(default_factory=list)
     sites: List[SiteSpec] = field(default_factory=list)
     cameras: List[CameraSpec] = field(default_factory=list)
+    lights: List[LightSpec] = field(default_factory=list)
     children: List["BodySpec"] = field(default_factory=list)
 
     def __post_init__(self):
@@ -248,6 +275,10 @@ class BodySpec:
     def add_camera(self, cam: CameraSpec) -> CameraSpec:
         self.cameras.append(cam)
         return cam
+
+    def add_light(self, light: LightSpec) -> LightSpec:
+        self.lights.append(light)
+        return light
 
     # -- traversal -----------------------------------------------------------
     def walk(self):
@@ -276,6 +307,9 @@ class BodySpec:
                 s.name = prefix + s.name
             for c in b.cameras:
                 c.name = prefix + c.name
+            for lt in b.lights:
+                if lt.name:
+                    lt.name = prefix + lt.name
         return self
 
 

@@ -70,6 +70,8 @@ class ManipulationTask:
             ms.worldbody.sites.append(st)
         for c in self.arena.spec.worldbody.cameras:
             ms.worldbody.cameras.append(c)
+        for lt in self.arena.spec.worldbody.lights:
+            ms.worldbody.lights.append(lt)
         for b in self.arena.spec.worldbody.children:
             ms.worldbody.children.append(b)
 

@@ -65,9 +65,12 @@ class ILQRSolution:
     xs: Any        # (H+1, nx) optimized state trajectory
     us: Any        # (H, nu) optimized controls
     cost: Any      # scalar final cost
-    gains_K: Any   # (H, nu, nx) feedback gains
+    gains_K: Any   # (H, nu, nx) feedback gains (from the last backward pass)
     gains_k: Any   # (H, nu) feedforward
     metrics: Any = None  # dict: per-iteration cost / alpha / accepted
+    lin: Any = None      # (fx (H,nx,nx), fu (H,nx,nu)) dynamics linearization
+                         # used by the last iteration — carry it across
+                         # receding-horizon ticks for RTI-style reuse
 
 
 def _rollout(dynamics, cost, terminal_cost, x0, us):
@@ -230,35 +233,53 @@ def gauss_newton_quadratics(residual: Callable, gn_reg: float = 1e-6):
 
 
 def solve(cfg: ILQRConfig, dynamics: Callable, cost: Callable, terminal_cost: Callable, x0, us_init,
-          quadratics: Callable = None, terminal_quadratics: Callable = None):
+          quadratics: Callable = None, terminal_quadratics: Callable = None,
+          frozen_lin=None):
     """Run iLQR. Returns ILQRSolution.
 
     quadratics (optional): (x, u, t) -> (cx, cu, cxx, cuu, cux) — overrides
     the autodiff second-order expansion of `cost` (e.g. Gauss-Newton from
     residuals via gauss_newton_quadratics; `cost` is still used for the
     line-search rollout objective). terminal_quadratics: x -> (Vx, Vxx).
+
+    frozen_lin (optional): (fx (H,nx,nx), fu (H,nx,nu)) — use this dynamics
+    linearization instead of computing one (RTI-style reuse across
+    receding-horizon ticks: the FD linearization is ~1.5x the cost of the
+    whole MPPI warm start per iteration, while the trajectory it is taken
+    about shifts by only one step per tick). Cost quadratics are still
+    evaluated fresh; the line search still rolls the TRUE dynamics, so a
+    stale linearization can degrade the step but never corrupt the plan.
     """
     nu = us_init.shape[-1]
     H = us_init.shape[0]
 
     if cfg.use_fd:
-        def fx_fn(x, u):
+        def lin_dyn(x, u):
+            # one fused perturbation batch: f0 once, all nx+nu forward
+            # differences in a single vmap (best lane packing through the
+            # Pallas substep kernels)
+            nx_, nu_ = x.shape[0], u.shape[0]
             f0 = dynamics(x, u)
+            dxs = jnp.concatenate([
+                jnp.eye(nx_, dtype=x.dtype),
+                jnp.zeros((nu_, nx_), dtype=x.dtype),
+            ])
+            dus = jnp.concatenate([
+                jnp.zeros((nx_, nu_), dtype=u.dtype),
+                jnp.eye(nu_, dtype=u.dtype),
+            ])
             cols = jax.vmap(
-                lambda e: (dynamics(x + cfg.fd_eps * e, u) - f0) / cfg.fd_eps
-            )(jnp.eye(x.shape[0], dtype=x.dtype))
-            return cols.T
-
-        def fu_fn(x, u):
-            f0 = dynamics(x, u)
-            cols = jax.vmap(
-                lambda e: (dynamics(x, u + cfg.fd_eps * e) - f0) / cfg.fd_eps
-            )(jnp.eye(u.shape[0], dtype=u.dtype))
-            return cols.T
+                lambda dx, du: dynamics(x + cfg.fd_eps * dx, u + cfg.fd_eps * du)
+            )(dxs, dus)
+            cols = (cols - f0) / cfg.fd_eps  # (nx+nu, nx)
+            return cols[:nx_].T, cols[nx_:].T
     else:
         jac = jax.jacfwd if cfg.use_jacfwd else jax.jacrev
-        fx_fn = jac(dynamics, argnums=0)
-        fu_fn = jac(dynamics, argnums=1)
+        _fx_fn = jac(dynamics, argnums=0)
+        _fu_fn = jac(dynamics, argnums=1)
+
+        def lin_dyn(x, u):
+            return _fx_fn(x, u), _fu_fn(x, u)
     if quadratics is None:
         cx_fn = jax.grad(cost, argnums=0)
         cu_fn = jax.grad(cost, argnums=1)
@@ -278,18 +299,21 @@ def solve(cfg: ILQRConfig, dynamics: Callable, cost: Callable, terminal_cost: Ca
 
     def linearize(xs, us):
         ts = jnp.arange(H)
-        fx = jax.vmap(fx_fn)(xs[:-1], us)
-        fu = jax.vmap(fu_fn)(xs[:-1], us)
+        if frozen_lin is not None:
+            fx, fu = frozen_lin
+        else:
+            fx, fu = jax.vmap(lin_dyn)(xs[:-1], us)
         cx, cu, cxx, cuu, cux = jax.vmap(quadratics)(xs[:-1], us, ts)
         return fx, fu, cx, cu, cxx, cuu, cux
 
     def backward(xs, us, reg):
-        lin = linearize(xs, us)
+        fx, fu, *cquads = linearize(xs, us)
         Vx, Vxx = terminal_quadratics(xs[-1])
         if cfg.parallel_backward:
-            ks, Ks, dv, _, _ = backward_associative(*lin, Vx, Vxx, reg)
-            return ks, Ks, dv
-        return backward_sequential(*lin, Vx, Vxx, reg)
+            ks, Ks, dv, _, _ = backward_associative(fx, fu, *cquads, Vx, Vxx, reg)
+        else:
+            ks, Ks, dv = backward_sequential(fx, fu, *cquads, Vx, Vxx, reg)
+        return ks, Ks, dv, (fx, fu)
 
     def forward(xs, us, ks, Ks, alpha):
         def body(x, inp):
@@ -309,7 +333,7 @@ def solve(cfg: ILQRConfig, dynamics: Callable, cost: Callable, terminal_cost: Ca
 
     def iteration(carry, _):
         xs, us, J, reg = carry
-        ks, Ks, expected = backward(xs, us, reg)
+        ks, Ks, expected, lin = backward(xs, us, reg)
 
         # backtracking line search over alphas, pick the best improvement
         alphas = 0.5 ** jnp.arange(cfg.line_search_steps, dtype=x0.dtype)
@@ -328,11 +352,21 @@ def solve(cfg: ILQRConfig, dynamics: Callable, cost: Callable, terminal_cost: Ca
         J_new = jnp.where(improved, J_c[best], J)
         reg_new = jnp.where(improved, jnp.maximum(reg * 0.5, cfg.reg_init), jnp.minimum(reg * 10.0, cfg.reg_max))
         metrics = dict(cost=J_new, alpha=alphas[best], accepted=improved)
-        return (xs_new, us_new, J_new, reg_new), metrics
+        return (xs_new, us_new, J_new, reg_new), (metrics, ks, Ks, lin)
 
-    (xs, us, J, _), metrics = jax.lax.scan(
+    (xs, us, J, _), ys = jax.lax.scan(
         iteration, (xs0, us_init, cost0, jnp.asarray(cfg.reg_init, dtype=x0.dtype)), None,
         length=cfg.n_iterations,
     )
-    ks, Ks, _ = backward(xs, us, jnp.asarray(cfg.reg_init, dtype=x0.dtype))
-    return ILQRSolution(xs=xs, us=us, cost=J, gains_K=Ks, gains_k=ks, metrics=metrics)
+    if cfg.n_iterations > 0:
+        # gains from the last backward pass of the loop (standard iLQR; a
+        # post-loop backward would re-linearize — at H=64 FD that is ~1.5x
+        # the entire MPPI warm start of wasted work per solve)
+        metrics, ks_all, Ks_all, lin_all = ys
+        ks, Ks = ks_all[-1], Ks_all[-1]
+        lin = jax.tree.map(lambda a: a[-1], lin_all)
+    else:
+        metrics = None
+        ks, Ks, _, lin = backward(xs, us, jnp.asarray(cfg.reg_init, dtype=x0.dtype))
+    return ILQRSolution(xs=xs, us=us, cost=J, gains_K=Ks, gains_k=ks,
+                        metrics=metrics, lin=lin)

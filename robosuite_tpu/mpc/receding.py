@@ -67,16 +67,39 @@ class MPCConfig:
                                       # perturbed rollouts tolerate a coarser
                                       # contact solve than the nominal plan
     u_cost: float = 0.05              # control-effort residual weight
+    relin_every: int = 1              # RTI-style linearization reuse: run the
+                                      # full FD linearization only every R-th
+                                      # tick; in between, shift the carried
+                                      # (fx, fu) one step with the plan (the
+                                      # FD sweep is ~1.5x the cost of the
+                                      # whole MPPI warm start per iteration;
+                                      # real-time-iteration SQP makes the
+                                      # same trade). 1 = always relinearize.
 
 
 @struct.dataclass
 class MPCState:
     us: Any    # (H, act_dim) nominal plan
     rng: Any
+    # RTI carry (relin_every > 1 only; None otherwise so the pytree stays
+    # minimal for MPPI-only / full-relin configs)
+    fxs: Any = None   # (H, nx, nx) dynamics linearization about the plan
+    fus: Any = None   # (H, nx, nu)
+    tick: Any = None  # scalar int32 tick counter (drives the relin cadence)
 
 
-def init_state(cfg: MPCConfig, act_dim: int, rng) -> MPCState:
-    return MPCState(us=jnp.zeros((cfg.horizon, act_dim)), rng=rng)
+def init_state(cfg: MPCConfig, act_dim: int, rng, nx: int | None = None) -> MPCState:
+    us = jnp.zeros((cfg.horizon, act_dim))
+    if cfg.n_ilqr_iters > 0 and cfg.relin_every > 1:
+        if nx is None:
+            raise ValueError("relin_every > 1 needs nx (use RecedingMPC.init_state)")
+        return MPCState(
+            us=us, rng=rng,
+            fxs=jnp.zeros((cfg.horizon, nx, nx)),
+            fus=jnp.zeros((cfg.horizon, nx, act_dim)),
+            tick=jnp.zeros((), dtype=jnp.int32),
+        )
+    return MPCState(us=us, rng=rng)
 
 
 class RecedingMPC:
@@ -117,6 +140,11 @@ class RecedingMPC:
         )
         self._unravel_x = unravel
         self.nx = flat.shape[0]
+
+    def init_state(self, rng) -> MPCState:
+        """MPCState for this harness (allocates the RTI linearization carry
+        when cfg.relin_every > 1)."""
+        return init_state(self.cfg, self.env.action_dim, rng, nx=self.nx)
 
     # -- EnvState <-> iLQR state ------------------------------------------------
     @staticmethod
@@ -203,6 +231,26 @@ class RecedingMPC:
         )
         quads = ilqr_mod.gauss_newton_quadratics(self._ilqr_residual)
 
+        def refine_one(env_state, mean, frozen):
+            """One iLQR refinement; frozen=(fxs, fus) reuses that dynamics
+            linearization (RTI), None runs the full FD sweep. Returns
+            (us, cost, ok, fx, fu) with non-finite lin zeroed so a diverged
+            solve cannot poison the RTI carry."""
+            x0 = self._to_x(env_state)
+            sol = ilqr_mod.solve(
+                ilqr_cfg, self._ilqr_dynamics, self._ilqr_cost,
+                self._ilqr_terminal, x0, mean, quadratics=quads,
+                frozen_lin=frozen,
+            )
+            ok = jnp.all(jnp.isfinite(sol.us))
+            us = jnp.where(ok, jnp.clip(sol.us, -1.0, 1.0), mean)
+            fx, fu = sol.lin
+            fx = jnp.where(jnp.isfinite(fx), fx, 0.0)
+            fu = jnp.where(jnp.isfinite(fu), fu, 0.0)
+            return us, sol.cost, ok, fx, fu
+
+        self._refine_one = refine_one
+
         def solve(env_state, mpc: MPCState):
             rng, k_noise = jax.random.split(mpc.rng)
             # 1. MPPI warm start (full env reward as the sampling objective)
@@ -212,22 +260,30 @@ class RecedingMPC:
             )
 
             # 2. iLQR refinement on the raveled state
-            if cfg.n_ilqr_iters > 0:
-                x0 = self._to_x(env_state)
-                sol = ilqr_mod.solve(
-                    ilqr_cfg, self._ilqr_dynamics, self._ilqr_cost,
-                    self._ilqr_terminal, x0, mean, quadratics=quads,
+            lin_carry = {}
+            if cfg.n_ilqr_iters > 0 and cfg.relin_every > 1:
+                us, ilqr_cost, ok, fx, fu = jax.lax.cond(
+                    (mpc.tick % cfg.relin_every) == 0,
+                    lambda es, m, a, b: refine_one(es, m, None),
+                    lambda es, m, a, b: refine_one(es, m, (a, b)),
+                    env_state, mean, mpc.fxs, mpc.fus,
                 )
-                # accept only if the refined plan is finite
-                ok = jnp.all(jnp.isfinite(sol.us))
-                us = jnp.where(ok, jnp.clip(sol.us, -1.0, 1.0), mean)
-                metrics = dict(metrics, ilqr_cost=sol.cost, ilqr_accepted=ok)
+                metrics = dict(metrics, ilqr_cost=ilqr_cost, ilqr_accepted=ok)
+                # shift the linearization with the plan
+                lin_carry = dict(
+                    fxs=jnp.concatenate([fx[1:], fx[-1:]]),
+                    fus=jnp.concatenate([fu[1:], fu[-1:]]),
+                    tick=mpc.tick + 1,
+                )
+            elif cfg.n_ilqr_iters > 0:
+                us, ilqr_cost, ok, _, _ = refine_one(env_state, mean, None)
+                metrics = dict(metrics, ilqr_cost=ilqr_cost, ilqr_accepted=ok)
             else:
                 us = mean
 
             action = us[0]
             shifted = jnp.concatenate([us[1:], jnp.zeros((1, us.shape[-1]), dtype=us.dtype)])
-            return action, MPCState(us=shifted, rng=rng), metrics
+            return action, MPCState(us=shifted, rng=rng, **lin_carry), metrics
 
         return solve
 
@@ -252,6 +308,20 @@ class RecedingMPC:
         )
         quads = ilqr_mod.gauss_newton_quadratics(self._ilqr_residual)
 
+        def refine_one(env_state, mean, frozen):
+            x0 = self._to_x(env_state)
+            sol = ilqr_mod.solve(
+                ilqr_cfg, self._ilqr_dynamics, self._ilqr_cost,
+                self._ilqr_terminal, x0, mean, quadratics=quads,
+                frozen_lin=frozen,
+            )
+            ok = jnp.all(jnp.isfinite(sol.us))
+            us = jnp.where(ok, jnp.clip(sol.us, -1.0, 1.0), mean)
+            fx, fu = sol.lin
+            fx = jnp.where(jnp.isfinite(fx), fx, 0.0)
+            fu = jnp.where(jnp.isfinite(fu), fu, 0.0)
+            return us, sol.cost, ok, fx, fu
+
         def solve_batch(env_states, mpcs: MPCState):
             keys = jax.vmap(jax.random.split)(mpcs.rng)  # (B, 2, key)
             rngs, k_noise = keys[:, 0], keys[:, 1]
@@ -259,17 +329,32 @@ class RecedingMPC:
                 mppi_cfg, self.plan_rollout_return, env_states, mpcs.us, k_noise
             )
 
-            if cfg.n_ilqr_iters > 0:
-                def refine(env_state, mean):
-                    x0 = self._to_x(env_state)
-                    sol = ilqr_mod.solve(
-                        ilqr_cfg, self._ilqr_dynamics, self._ilqr_cost,
-                        self._ilqr_terminal, x0, mean, quadratics=quads,
-                    )
-                    ok = jnp.all(jnp.isfinite(sol.us))
-                    return jnp.where(ok, jnp.clip(sol.us, -1.0, 1.0), mean), sol.cost, ok
-
-                us, ilqr_cost, ok = jax.vmap(refine)(env_states, means)
+            lin_carry = {}
+            if cfg.n_ilqr_iters > 0 and cfg.relin_every > 1:
+                # ticks are lock-stepped across the batch (init_state +1 per
+                # solve), so the relin decision is a scalar and the cond sits
+                # OUTSIDE the vmap — under vmap it would lower to a select
+                # that executes BOTH branches, paying the full FD every tick.
+                us, ilqr_cost, ok, fx, fu = jax.lax.cond(
+                    (mpcs.tick[0] % cfg.relin_every) == 0,
+                    lambda es, m, a, b: jax.vmap(
+                        lambda e1, m1, a1, b1: refine_one(e1, m1, None)
+                    )(es, m, a, b),
+                    lambda es, m, a, b: jax.vmap(
+                        lambda e1, m1, a1, b1: refine_one(e1, m1, (a1, b1))
+                    )(es, m, a, b),
+                    env_states, means, mpcs.fxs, mpcs.fus,
+                )
+                metrics = dict(metrics, ilqr_cost=ilqr_cost, ilqr_accepted=ok)
+                lin_carry = dict(
+                    fxs=jnp.concatenate([fx[:, 1:], fx[:, -1:]], axis=1),
+                    fus=jnp.concatenate([fu[:, 1:], fu[:, -1:]], axis=1),
+                    tick=mpcs.tick + 1,
+                )
+            elif cfg.n_ilqr_iters > 0:
+                us, ilqr_cost, ok, _, _ = jax.vmap(
+                    lambda e1, m1: refine_one(e1, m1, None)
+                )(env_states, means)
                 metrics = dict(metrics, ilqr_cost=ilqr_cost, ilqr_accepted=ok)
             else:
                 us = means
@@ -278,7 +363,7 @@ class RecedingMPC:
             shifted = jnp.concatenate(
                 [us[:, 1:], jnp.zeros((us.shape[0], 1, us.shape[-1]), dtype=us.dtype)], axis=1
             )
-            return actions, MPCState(us=shifted, rng=rngs), metrics
+            return actions, MPCState(us=shifted, rng=rngs, **lin_carry), metrics
 
         return solve_batch
 

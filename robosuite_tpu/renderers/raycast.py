@@ -6,7 +6,9 @@ renderer computes analytic ray-primitive intersections (plane / sphere /
 capsule / cylinder / box) for every pixel under jit, so camera observables
 vmap across thousands of scenarios on TPU like everything else.
 
-Produces RGB (Lambertian, one directional light) + metric depth. Mesh geoms
+Produces RGB (Lambertian over the model's <light> array — directional and
+point lights, reference arena lights e.g. table_arena.xml:41 — with a
+single-directional-light fallback) + metric depth. Mesh geoms
 with hull cards render via their convex face planes (ray-halfspace clip);
 only card-less meshes fall back to being skipped. Resolution and cameras
 come from the model's compiled camera array.
@@ -240,6 +242,21 @@ def render_camera(model, kin, camera_name, height=84, width=84, geom_groups=None
     dirs = dirs_cam @ cam_rot.T
     dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
 
+    # lighting: the model's compiled <light> array when present (world-frame
+    # via the carrying body's pose), else the legacy single key light. A
+    # visual["light_dir"] override (LightingModder) forces the single-light
+    # path so per-scenario randomization keeps working unchanged.
+    use_model_lights = model.nlight > 0 and "light_dir" not in visual
+    if use_model_lights:
+        lpos_l = jnp.asarray(model.light_pos)        # (nl, 3) body frame
+        ldir_l = jnp.asarray(model.light_dir)
+        lbid = np.asarray(model.light_bodyid, dtype=np.int32)
+        l_xmat = kin.xmat[lbid]                      # (nl, 3, 3)
+        lpos_w = kin.xpos[lbid] + jnp.einsum("nij,nj->ni", l_xmat, lpos_l)
+        ldir_w = jnp.einsum("nij,nj->ni", l_xmat, ldir_l)
+        l_directional = jnp.asarray(model.light_directional)
+        l_diffuse = jnp.asarray(model.light_diffuse)  # (nl, 3)
+        l_active = jnp.asarray(model.light_active)
     light_dir = visual.get("light_dir", jnp.asarray([0.3, 0.3, -0.9]))
     light_dir = light_dir / jnp.maximum(jnp.linalg.norm(light_dir), 1e-9)
     ambient = visual.get("ambient", 0.35)
@@ -264,7 +281,30 @@ def render_camera(model, kin, camera_name, height=84, width=84, geom_groups=None
     def pixel(d):
         t, n, gi = _trace_one(model, kin.geom_xpos, kin.geom_xmat, cam_pos, d, geom_ids)
         hit = t < _BIG * 0.5
-        lam = jnp.clip(jnp.dot(n, -light_dir), 0.0, 1.0)
+        if use_model_lights:
+            # accumulate Lambertian over the light array: directional lights
+            # use -dir; point lights the hit->light direction (MuJoCo's
+            # default attenuation [1,0,0] is constant, so no falloff term)
+            p_hit_l = cam_pos + t * d
+
+            def light_contrib(lp, ld, is_dir, dif, act):
+                to_l = lp - p_hit_l
+                to_l = to_l / jnp.maximum(jnp.linalg.norm(to_l), 1e-9)
+                ldir_eff = jnp.where(is_dir > 0.5, -ld, to_l)
+                return act * jnp.clip(jnp.dot(n, ldir_eff), 0.0, 1.0) * dif
+
+            lam_rgb = jnp.clip(
+                jnp.sum(
+                    jax.vmap(light_contrib)(
+                        lpos_w, ldir_w, l_directional, l_diffuse, l_active
+                    ),
+                    axis=0,
+                ),
+                0.0,
+                1.0,
+            )
+        else:
+            lam_rgb = jnp.clip(jnp.dot(n, -light_dir), 0.0, 1.0)
         gsafe = jnp.maximum(gi, 0)
         base = jnp.where(gi >= 0, colors[gsafe], jnp.ones(3) * 0.7)
         if tex_mode is not None:
@@ -278,7 +318,7 @@ def render_camera(model, kin, camera_name, height=84, width=84, geom_groups=None
             mode = tex_mode_g[gsafe]
             w = jnp.where(mode == 1, checker, jnp.where(mode == 2, grad_t, jnp.where(mode == 3, noise, 0.0)))
             base = base * (1.0 - w) + tex_rgb2_g[gsafe] * w
-        col = base * (ambient + diffuse * lam)
+        col = base * (ambient + diffuse * lam_rgb)
         sky = jnp.asarray([0.7, 0.8, 0.9])
         rgb = jnp.where(hit, jnp.clip(col, 0.0, 1.0), sky)
         # depth along camera forward axis

@@ -129,14 +129,54 @@ class USDExporter:
 
         lines += ['def Xform "World"', "{"]
 
-        # lights (reference usd/lights.py: key light + fill)
+        # lights (reference usd/lights.py): the model's compiled <light>
+        # array when present — DistantLight for directional, SphereLight
+        # for point — plus a dome fill; fixed key light as fallback
+        nlight = getattr(m, "nlight", 0)
+        if nlight:
+            lpos = np.asarray(m.light_pos)
+            ldir = np.asarray(m.light_dir)
+            ldirectional = np.asarray(m.light_directional)
+            ldiffuse = np.asarray(m.light_diffuse)
+            for li in range(nlight):
+                lname = _sanitize(m.light_names[li])
+                r, g, b = [float(x) for x in ldiffuse[li]]
+                if ldirectional[li] > 0.5:
+                    # orient -Z (USD light axis) onto the light direction
+                    d = ldir[li]
+                    pitch = float(np.degrees(np.arcsin(np.clip(d[1], -1, 1))))
+                    yaw = float(np.degrees(np.arctan2(-d[0], -d[2])))
+                    lines += [
+                        f'    def DistantLight "{lname}"',
+                        "    {",
+                        "        float inputs:intensity = 1000",
+                        f"        color3f inputs:color = ({r:.4g}, {g:.4g}, {b:.4g})",
+                        f"        float3 xformOp:rotateXYZ = ({pitch:.4g}, {yaw:.4g}, 0)",
+                        '        uniform token[] xformOpOrder = ["xformOp:rotateXYZ"]',
+                        "    }",
+                    ]
+                else:
+                    p = lpos[li]
+                    lines += [
+                        f'    def SphereLight "{lname}"',
+                        "    {",
+                        "        float inputs:intensity = 3000",
+                        "        float inputs:radius = 0.05",
+                        f"        color3f inputs:color = ({r:.4g}, {g:.4g}, {b:.4g})",
+                        f"        double3 xformOp:translate = ({p[0]:.6g}, {p[1]:.6g}, {p[2]:.6g})",
+                        '        uniform token[] xformOpOrder = ["xformOp:translate"]',
+                        "    }",
+                    ]
+        else:
+            lines += [
+                '    def DistantLight "key_light"',
+                "    {",
+                "        float inputs:intensity = 1000",
+                "        float3 xformOp:rotateXYZ = (-35, 20, 0)",
+                '        uniform token[] xformOpOrder = ["xformOp:rotateXYZ"]',
+                "    }",
+            ]
         lines += [
-            '    def DistantLight "key_light"',
-            "    {",
-            "        float inputs:intensity = 1000",
-            "        float3 xformOp:rotateXYZ = (-35, 20, 0)",
-            '        uniform token[] xformOpOrder = ["xformOp:rotateXYZ"]',
-            "    }",
             '    def DomeLight "dome"',
             "    {",
             "        float inputs:intensity = 350",

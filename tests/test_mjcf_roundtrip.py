@@ -44,3 +44,34 @@ def test_composite_controller_spec():
 
     wbik = make_composite("WHOLE_BODY_IK", arms=("right", "left"))
     assert wbik.action_dim == 14
+
+
+def test_light_roundtrip():
+    """MJCF <light> elements survive export -> parse -> compile (reference
+    arenas declare scene lights, e.g. table_arena.xml:41)."""
+    import numpy as np
+
+    from robosuite_tpu.models import spec as S
+    from robosuite_tpu.models.mjcf.export import export_xml
+    from robosuite_tpu.models.mjcf.parser import parse_mjcf
+
+    ms = S.ModelSpec("lit", S.OptionSpec())
+    ms.worldbody.add_geom(S.GeomSpec("floor", type="plane", size=(2, 2, 0.1)))
+    ms.worldbody.add_light(
+        S.LightSpec(pos=(1, 1, 1.5), dir=(-0.2, -0.2, -1), directional=True,
+                    specular=(0.3, 0.3, 0.3), castshadow=False)
+    )
+    b = ms.worldbody.add_body(S.BodySpec("b", pos=(0, 0, 0.5)))
+    b.add_geom(S.GeomSpec("bg", type="sphere", size=(0.05,)))
+    b.add_light(S.LightSpec(name="spot", pos=(0, 0, 1), diffuse=(0.5, 0.4, 0.3)))
+
+    xml = export_xml(ms)
+    ms2 = parse_mjcf(xml)
+    m2 = ms2.compile(device=False)
+    assert m2.nlight == 2
+    assert m2.light_names == ("light0", "spot")
+    assert m2.light_bodyid == (0, 1)
+    np.testing.assert_allclose(np.asarray(m2.light_directional), [1.0, 0.0])
+    d0 = np.asarray(m2.light_dir)[0]
+    np.testing.assert_allclose(d0, np.array([-0.2, -0.2, -1.0]) / np.linalg.norm([-0.2, -0.2, -1.0]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(m2.light_diffuse)[1], [0.5, 0.4, 0.3], atol=1e-6)

@@ -187,3 +187,50 @@ def test_ilqr_fd_linearization_matches_jacfwd():
     assert float(sol_fd.cost) <= float(sol_ad.cost) * 1.10 + 1e-3, (
         float(sol_fd.cost), float(sol_ad.cost),
     )
+
+
+def test_ilqr_frozen_lin_rti_reuse():
+    """RTI-style linearization reuse: a solve fed the PREVIOUS tick's
+    (fx, fu) shifted one step (frozen_lin) must still refine the shifted
+    warm start — the receding-horizon trade receding.MPCConfig.relin_every
+    makes (the FD sweep is ~1.5x the whole MPPI warm start per iteration).
+    Smooth nonlinear dynamics + convex quadratic cost: the regulation
+    regime RTI is designed for (receding-horizon steady state, where the
+    trajectory shifts little tick-over-tick)."""
+    rng = np.random.default_rng(7)
+    nx, nu, H = 5, 2, 40
+    W = jnp.asarray(rng.normal(size=(nx, nx)) * 0.3)
+    B = jnp.asarray(rng.normal(size=(nx, nu)))
+
+    def dynamics(x, u):
+        return x + 0.1 * jnp.tanh(W @ x) + 0.1 * (B @ u)
+
+    def cost(x, u, t):
+        return 0.5 * jnp.sum(x**2) + 0.05 * jnp.sum(u**2)
+
+    def terminal(x):
+        return 2.0 * jnp.sum(x**2)
+
+    cfg = ilqr.ILQRConfig(horizon=H, n_iterations=2, use_fd=True, fd_eps=1e-4)
+    x0 = jnp.asarray(rng.normal(size=nx))
+    sol1 = jax.jit(lambda x, u: ilqr.solve(cfg, dynamics, cost, terminal, x, u))(
+        x0, jnp.zeros((H, nu))
+    )
+    assert sol1.lin is not None and sol1.lin[0].shape == (H, nx, nx)
+    assert bool(sol1.metrics["accepted"][-1])
+
+    # receding tick: execute the first action, shift plan + linearization
+    x1 = dynamics(x0, sol1.us[0])
+    us_ws = jnp.concatenate([sol1.us[1:], sol1.us[-1:]])
+    frozen = tuple(jnp.concatenate([a[1:], a[-1:]]) for a in sol1.lin)
+
+    _, j_ws = ilqr._rollout(dynamics, cost, terminal, x1, us_ws)
+    sol_rti = jax.jit(
+        lambda x, u, fl: ilqr.solve(cfg, dynamics, cost, terminal, x, u, frozen_lin=fl)
+    )(x1, us_ws, frozen)
+    sol_full = jax.jit(lambda x, u: ilqr.solve(cfg, dynamics, cost, terminal, x, u))(
+        x1, us_ws
+    )
+    # the stale linearization still refines, and is close to the full relin
+    assert float(sol_rti.cost) < float(j_ws)
+    assert float(sol_rti.cost) <= float(sol_full.cost) * 1.25 + 1e-3

@@ -116,5 +116,8 @@ def test_osc_torque_parity_random_states(lift_model):
     print(f"\nOSC parity (random states): max={err.max():.2e} mean={err.mean():.2e} p95={np.percentile(err, 95):.2e}")
     # float32 conditioning bound at near-singular poses (cond up to 2e5);
     # the reference computes this chain in float64. Documented stress case.
-    assert np.percentile(err, 95) <= 1e-1
-    assert np.median(err) <= 5e-3
+    # r3: the M^-1 Newton refinement pulled p95 from ~1e-1 to ~5e-3; the
+    # bound locks that in (measured p95 5.1e-3, median < 2e-3, max ~1.2e-1
+    # on the worst near-singular probe).
+    assert np.percentile(err, 95) <= 2e-2
+    assert np.median(err) <= 4e-3

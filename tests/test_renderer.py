@@ -123,3 +123,46 @@ def test_hull_mesh_geoms_render():
     seg_ids = set(np.unique(np.asarray(seg)).tolist())
     assert any(g in seg_ids for g in mesh_geoms), "no hull geom in segmentation"
     assert np.all(np.isfinite(np.asarray(depth)))
+
+
+def test_model_lights_shading():
+    """The compiled <light> array drives shading: a directional light from
+    +x lights the box's +x face; switching to a light from -x (via
+    model.replace) changes the image without retracing the scene setup."""
+    ms = S.ModelSpec("lit_scene")
+    w = ms.worldbody
+    w.add_geom(S.GeomSpec("floor", type="plane", size=(3, 3, 0.1)))
+    box = w.add_body(S.BodySpec("box", pos=(0.0, 0.0, 0.3)))
+    box.add_geom(S.GeomSpec("boxg", type="box", size=(0.2, 0.2, 0.3), contype=0, conaffinity=0))
+    w.add_camera(S.CameraSpec("cam", pos=(3.0, 0.0, 0.5), quat=(0.5, 0.5, 0.5, 0.5), fovy=45.0))
+    w.add_light(S.LightSpec(pos=(2, 0, 2), dir=(-1.0, 0.0, -0.3), directional=True))
+    model = ms.compile()
+    kin = jax.jit(kinematics.fk)(model, model.qpos0)
+
+    # the renderer reads the model statically (cam_fovy etc.), so each
+    # model closes over its own jit
+    rgb_a, _ = jax.jit(lambda k: render_camera(model, k, "cam", 48, 48))(kin)
+    flipped = model.replace(light_dir=jnp.asarray([[1.0, 0.0, -0.3]]) / np.linalg.norm([1, 0, -0.3]))
+    rgb_b, _ = jax.jit(lambda k: render_camera(flipped, k, "cam", 48, 48))(kin)
+    rgb_a, rgb_b = np.asarray(rgb_a), np.asarray(rgb_b)
+    assert np.isfinite(rgb_a).all() and np.isfinite(rgb_b).all()
+    # the camera faces the box's +x side: lit from +x it must be brighter
+    # than lit from -x (which leaves only ambient)
+    center_a = rgb_a[24, 24].mean()
+    center_b = rgb_b[24, 24].mean()
+    assert center_a > center_b + 0.05, (center_a, center_b)
+
+    # point light: same scene but a point light behind the camera
+    ms2 = S.ModelSpec("lit_scene2")
+    w2 = ms2.worldbody
+    w2.add_geom(S.GeomSpec("floor", type="plane", size=(3, 3, 0.1)))
+    b2 = w2.add_body(S.BodySpec("box", pos=(0.0, 0.0, 0.3)))
+    b2.add_geom(S.GeomSpec("boxg", type="box", size=(0.2, 0.2, 0.3), contype=0, conaffinity=0))
+    w2.add_camera(S.CameraSpec("cam", pos=(3.0, 0.0, 0.5), quat=(0.5, 0.5, 0.5, 0.5), fovy=45.0))
+    w2.add_light(S.LightSpec(pos=(2.0, 0.0, 0.5), directional=False))
+    m2 = ms2.compile()
+    kin2 = jax.jit(kinematics.fk)(m2, m2.qpos0)
+    rgb_p, _ = jax.jit(lambda k: render_camera(m2, k, "cam", 48, 48))(kin2)
+    rgb_p = np.asarray(rgb_p)
+    assert np.isfinite(rgb_p).all()
+    assert rgb_p[24, 24].mean() > 0.1

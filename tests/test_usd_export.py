@@ -17,6 +17,8 @@ def test_usd_stage_contents(tmp_path):
     b.add_joint(S.JointSpec("bj", type="free"))
     b.add_geom(S.GeomSpec("bg", type="box", size=(0.02, 0.02, 0.02), rgba=(0.9, 0.1, 0.1, 1)))
     w.cameras.append(S.CameraSpec("agentview", pos=(1, 0, 1), fovy=45.0))
+    w.add_light(S.LightSpec(name="key", pos=(1, 1, 1.5), dir=(-0.2, -0.2, -1), directional=True))
+    w.add_light(S.LightSpec(name="fill", pos=(-1, 0, 2), directional=False, diffuse=(0.8, 0.7, 0.6)))
     can = CanObject("can")
     w.children.append(can.get_obj())
     ms.meshes.update(can.meshes())
@@ -35,7 +37,11 @@ def test_usd_stage_contents(tmp_path):
     assert text.startswith("#usda 1.0")
     assert 'def Material "mat_bg"' in text
     assert "UsdPreviewSurface" in text
-    assert 'def DistantLight' in text and 'def DomeLight' in text
+    # model lights: directional -> DistantLight, point -> SphereLight
+    assert 'def DistantLight "key"' in text
+    assert 'def SphereLight "fill"' in text
+    assert "(0.8, 0.7, 0.6)" in text
+    assert 'def DomeLight' in text
     assert 'def Camera "agentview"' in text
     assert 'def Mesh "can_g0"' in text
     assert "faceVertexIndices" in text
