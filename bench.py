@@ -127,11 +127,12 @@ def main():
     note(f"mppi_only_solves_per_s={mppi_solves_per_s:.1f}")
     # full FD relinearization every tick (the conservative setting);
     # BENCH_SKIP_FULL_RELIN=1 reuses the last recorded number (quick reruns)
-    if os.environ.get("BENCH_SKIP_FULL_RELIN"):
-        full_relin_solves_per_s = float(os.environ.get("BENCH_FULL_RELIN", "0"))
+    full_relin_reused = bool(os.environ.get("BENCH_SKIP_FULL_RELIN"))
+    if full_relin_reused:
+        full_relin_solves_per_s = float(os.environ.get("BENCH_FULL_RELIN", "0")) or None
     else:
         full_relin_solves_per_s = bench_mpc_solves(env, n_ilqr_iters=1)
-    note(f"full_relin_solves_per_s={full_relin_solves_per_s:.1f}")
+    note(f"full_relin_solves_per_s={full_relin_solves_per_s}")
     # the BASELINE workload sentence includes iLQR refinement: the headline
     # number is the FULL MPPI + 1-iLQR-iteration solve rate, with RTI-style
     # linearization reuse (full FD sweep every 4th tick, shifted in between
@@ -147,7 +148,13 @@ def main():
                 "value": round(solves_per_s, 1),
                 "unit": "MPC solves/s (H=64, K=32, MPPI + 1 iLQR iter, RTI relin/4, 1 chip; target 512/chip)",
                 "vs_baseline": round(solves_per_s / MPC_TARGET_PER_CHIP, 3),
-                "full_relin_solves_per_s": round(full_relin_solves_per_s, 1),
+                # None when skipped via BENCH_SKIP_FULL_RELIN (a reused or
+                # absent measurement is never passed off as a fresh one)
+                "full_relin_solves_per_s": (
+                    round(full_relin_solves_per_s, 1)
+                    if full_relin_solves_per_s is not None else None
+                ),
+                "full_relin_reused": full_relin_reused,
                 "mppi_only_solves_per_s": round(mppi_solves_per_s, 1),
                 "env_steps_per_s": round(steps_per_s, 1),
                 "env_steps_vs_ref_cpu": round(steps_per_s / REF_CPU_STEPS_PER_S, 2),

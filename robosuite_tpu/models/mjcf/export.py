@@ -131,6 +131,7 @@ def export_xml(ms: S.ModelSpec, exclude_visual=False) -> str:
                 diffuse=_fmt(lt.diffuse), specular=_fmt(lt.specular),
                 ambient=_fmt(lt.ambient),
                 castshadow="true" if lt.castshadow else "false",
+                active="true" if lt.active else "false",
             )
             if lt.name:
                 attrs["name"] = lt.name

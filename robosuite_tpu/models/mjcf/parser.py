@@ -181,17 +181,21 @@ def parse_mjcf(path_or_string, name: Optional[str] = None) -> S.ModelSpec:
     def attr(a, el_attrs, default=None):
         return el_attrs.get(a, default)
 
-    def parse_light(el):
+    def parse_light(el, cls=None):
+        # MuJoCo <light> pos default is "0 0 0"; attrs go through the
+        # defaults-class chain like geoms (a <default><light/></default>
+        # block applies to lights of that class)
+        a = defaults.resolve("light", el, cls if cls is not None else el.get("class"))
         return S.LightSpec(
-            name=el.get("name", ""),
-            pos=_parse_floats(el.get("pos", "0 0 1.5"), 3),
-            dir=_parse_floats(el.get("dir", "0 0 -1"), 3),
-            directional=el.get("directional", "false") == "true",
-            diffuse=_parse_floats(el.get("diffuse", "0.7 0.7 0.7"), 3),
-            specular=_parse_floats(el.get("specular", "0.3 0.3 0.3"), 3),
-            ambient=_parse_floats(el.get("ambient", "0 0 0"), 3),
-            castshadow=el.get("castshadow", "true") == "true",
-            active=el.get("active", "true") == "true",
+            name=a.get("name", ""),
+            pos=_parse_floats(a.get("pos", "0 0 0"), 3),
+            dir=_parse_floats(a.get("dir", "0 0 -1"), 3),
+            directional=a.get("directional", "false") == "true",
+            diffuse=_parse_floats(a.get("diffuse", "0.7 0.7 0.7"), 3),
+            specular=_parse_floats(a.get("specular", "0.3 0.3 0.3"), 3),
+            ambient=_parse_floats(a.get("ambient", "0 0 0"), 3),
+            castshadow=a.get("castshadow", "true") == "true",
+            active=a.get("active", "true") == "true",
         )
 
     def parse_geom(el, cls) -> S.GeomSpec:
@@ -309,7 +313,7 @@ def parse_mjcf(path_or_string, name: Optional[str] = None) -> S.ModelSpec:
                     )
                 )
             elif child.tag == "light":
-                b.lights.append(parse_light(child))
+                b.lights.append(parse_light(child, child.get("class", cls)))
             elif child.tag == "body":
                 parse_body(child, b, cls)
 

@@ -65,8 +65,11 @@ class ILQRSolution:
     xs: Any        # (H+1, nx) optimized state trajectory
     us: Any        # (H, nu) optimized controls
     cost: Any      # scalar final cost
-    gains_K: Any   # (H, nu, nx) feedback gains (from the last backward pass)
-    gains_k: Any   # (H, nu) feedforward
+    gains_K: Any   # (H, nu, nx) feedback gains (from the last backward pass,
+                   # linearized about the last iteration's PRE-update
+                   # trajectory: one iteration behind xs/us — applying
+                   # u = us + k + K(x - xs) is the standard RTI approximation)
+    gains_k: Any   # (H, nu) feedforward (same one-iteration lag)
     metrics: Any = None  # dict: per-iteration cost / alpha / accepted
     lin: Any = None      # (fx (H,nx,nx), fu (H,nx,nu)) dynamics linearization
                          # used by the last iteration — carry it across
@@ -332,7 +335,7 @@ def solve(cfg: ILQRConfig, dynamics: Callable, cost: Callable, terminal_cost: Ca
     xs0, cost0 = _rollout(dynamics, cost, terminal_cost, x0, us_init)
 
     def iteration(carry, _):
-        xs, us, J, reg = carry
+        xs, us, J, reg, _gains = carry
         ks, Ks, expected, lin = backward(xs, us, reg)
 
         # backtracking line search over alphas, pick the best improvement
@@ -352,20 +355,28 @@ def solve(cfg: ILQRConfig, dynamics: Callable, cost: Callable, terminal_cost: Ca
         J_new = jnp.where(improved, J_c[best], J)
         reg_new = jnp.where(improved, jnp.maximum(reg * 0.5, cfg.reg_init), jnp.minimum(reg * 10.0, cfg.reg_max))
         metrics = dict(cost=J_new, alpha=alphas[best], accepted=improved)
-        return (xs_new, us_new, J_new, reg_new), (metrics, ks, Ks, lin)
+        # gains travel in the carry (only the LAST iteration's are consumed)
+        # instead of being stacked in ys — saves O(n_iter * H * nx^2) memory
+        return (xs_new, us_new, J_new, reg_new, (ks, Ks, lin)), metrics
 
-    (xs, us, J, _), ys = jax.lax.scan(
-        iteration, (xs0, us_init, cost0, jnp.asarray(cfg.reg_init, dtype=x0.dtype)), None,
-        length=cfg.n_iterations,
-    )
     if cfg.n_iterations > 0:
-        # gains from the last backward pass of the loop (standard iLQR; a
-        # post-loop backward would re-linearize — at H=64 FD that is ~1.5x
-        # the entire MPPI warm start of wasted work per solve)
-        metrics, ks_all, Ks_all, lin_all = ys
-        ks, Ks = ks_all[-1], Ks_all[-1]
-        lin = jax.tree.map(lambda a: a[-1], lin_all)
+        reg0 = jnp.asarray(cfg.reg_init, dtype=x0.dtype)
+        # shape-matching zero placeholders for the gains slot of the carry
+        # (eval_shape: no actual backward pass is computed for them)
+        ks_s, Ks_s, _, lin_s = jax.eval_shape(backward, xs0, us_init, reg0)
+        gains0 = jax.tree.map(
+            lambda s: jnp.zeros(s.shape, s.dtype), (ks_s, Ks_s, lin_s)
+        )
+        (xs, us, J, _, (ks, Ks, lin)), metrics = jax.lax.scan(
+            iteration, (xs0, us_init, cost0, reg0, gains0), None,
+            length=cfg.n_iterations,
+        )
+        # NOTE: gains/lin come from the backward pass about the last
+        # iteration's PRE-update trajectory (standard iLQR; a post-loop
+        # backward would re-linearize — at H=64 FD that is ~1.5x the entire
+        # MPPI warm start of wasted work per solve). See ILQRSolution.
     else:
+        xs, us, J = xs0, us_init, cost0
         metrics = None
         ks, Ks, _, lin = backward(xs, us, jnp.asarray(cfg.reg_init, dtype=x0.dtype))
     return ILQRSolution(xs=xs, us=us, cost=J, gains_K=Ks, gains_k=ks,

@@ -30,6 +30,57 @@ def _quat_to_usd(q):
     return f"({q[0]:.6g}, {q[1]:.6g}, {q[2]:.6g}, {q[3]:.6g})"
 
 
+def _quat_minus_z_to(d):
+    """wxyz quaternion rotating -Z onto direction d (USD light axis)."""
+    d = np.asarray(d, dtype=np.float64)
+    n = np.linalg.norm(d)
+    if n < 1e-12:
+        return np.array([1.0, 0.0, 0.0, 0.0])
+    d = d / n
+    src = np.array([0.0, 0.0, -1.0])
+    c = float(np.dot(src, d))
+    if c > 1.0 - 1e-12:
+        return np.array([1.0, 0.0, 0.0, 0.0])
+    if c < -1.0 + 1e-12:  # antiparallel: rotate pi about X
+        return np.array([0.0, 1.0, 0.0, 0.0])
+    axis = np.cross(src, d)
+    s = np.sqrt((1.0 + c) * 2.0)
+    return np.array([s * 0.5, axis[0] / s, axis[1] / s, axis[2] / s])
+
+
+def _quat_wxyz_to_mat(q):
+    """wxyz quaternion -> 3x3 rotation matrix (numpy, save-time)."""
+    w, x, y, z = [float(v) for v in q]
+    n = w * w + x * x + y * y + z * z
+    s = 0.0 if n < 1e-18 else 2.0 / n
+    wx, wy, wz = s * w * x, s * w * y, s * w * z
+    xx, xy, xz = s * x * x, s * x * y, s * x * z
+    yy, yz, zz = s * y * y, s * y * z, s * z * z
+    return np.array([
+        [1.0 - (yy + zz), xy - wz, xz + wy],
+        [xy + wz, 1.0 - (xx + zz), yz - wx],
+        [xz - wy, yz + wx, 1.0 - (xx + yy)],
+    ])
+
+
+def _mat_to_quat_wxyz(R):
+    """Single 3x3 rotation matrix -> wxyz quaternion (numpy, save-time)."""
+    t = np.trace(R)
+    if t > 0:
+        s = np.sqrt(t + 1.0) * 2.0
+        return np.array([0.25 * s, (R[2, 1] - R[1, 2]) / s,
+                         (R[0, 2] - R[2, 0]) / s, (R[1, 0] - R[0, 1]) / s])
+    i = int(np.argmax(np.diag(R)))
+    j, k = (i + 1) % 3, (i + 2) % 3
+    s = np.sqrt(max(R[i, i] - R[j, j] - R[k, k] + 1.0, 1e-18)) * 2.0
+    q = np.zeros(4)
+    q[0] = (R[k, j] - R[j, k]) / s
+    q[1 + i] = 0.25 * s
+    q[1 + j] = (R[j, i] + R[i, j]) / s
+    q[1 + k] = (R[k, i] + R[i, k]) / s
+    return q
+
+
 def _sanitize(name):
     out = "".join(c if c.isalnum() or c == "_" else "_" for c in name)
     return out if not out[:1].isdigit() else "_" + out
@@ -49,7 +100,12 @@ class USDExporter:
         from robosuite_tpu.utils import transforms as T
 
         quats = np.asarray(T.mat2quat_wxyz(kin.geom_xmat))
-        self.frames.append((np.asarray(kin.geom_xpos).copy(), quats))
+        # body poses too: lights/cameras attached to non-world bodies need
+        # their carrying body's world pose composed in at save time
+        self.frames.append(
+            (np.asarray(kin.geom_xpos).copy(), quats,
+             np.asarray(kin.xpos).copy(), np.asarray(kin.xmat).copy())
+        )
 
     # -- materials ----------------------------------------------------------
     def _material_block(self, name, rgba):
@@ -131,39 +187,64 @@ class USDExporter:
 
         # lights (reference usd/lights.py): the model's compiled <light>
         # array when present — DistantLight for directional, SphereLight
-        # for point — plus a dome fill; fixed key light as fallback
+        # for point — plus a dome fill; fixed key light as fallback.
+        # light_pos/light_dir are BODY-frame (model.py): compose the
+        # carrying body's world pose per recorded frame (time-sampled when
+        # the body moves); inactive lights are skipped.
         nlight = getattr(m, "nlight", 0)
         if nlight:
             lpos = np.asarray(m.light_pos)
             ldir = np.asarray(m.light_dir)
             ldirectional = np.asarray(m.light_directional)
             ldiffuse = np.asarray(m.light_diffuse)
+            lactive = np.asarray(m.light_active) if m.light_active is not None else np.ones(nlight)
+            lbody = np.asarray(m.light_bodyid, dtype=int)
             for li in range(nlight):
+                if lactive[li] < 0.5:
+                    continue
                 lname = _sanitize(m.light_names[li])
                 r, g, b = [float(x) for x in ldiffuse[li]]
+                bid = int(lbody[li])
+                if self.frames:
+                    wpos = [f[2][bid] + f[3][bid] @ lpos[li] for f in self.frames]
+                    wdir = [f[3][bid] @ ldir[li] for f in self.frames]
+                else:  # no frames recorded: body frame == world only for worldbody
+                    wpos, wdir = [lpos[li]], [ldir[li]]
+                moving = len(wpos) > 1 and not np.allclose(wpos[0], wpos[-1])
                 if ldirectional[li] > 0.5:
                     # orient -Z (USD light axis) onto the light direction
-                    d = ldir[li]
-                    pitch = float(np.degrees(np.arcsin(np.clip(d[1], -1, 1))))
-                    yaw = float(np.degrees(np.arctan2(-d[0], -d[2])))
+                    qs = [_quat_to_usd(_quat_minus_z_to(d)) for d in wdir]
+                    if moving:
+                        q_samples = ", ".join(f"{t}: {q}" for t, q in enumerate(qs))
+                        orient = f"        quatf xformOp:orient.timeSamples = {{{q_samples}}}"
+                    else:
+                        orient = f"        quatf xformOp:orient = {qs[0]}"
                     lines += [
                         f'    def DistantLight "{lname}"',
                         "    {",
                         "        float inputs:intensity = 1000",
                         f"        color3f inputs:color = ({r:.4g}, {g:.4g}, {b:.4g})",
-                        f"        float3 xformOp:rotateXYZ = ({pitch:.4g}, {yaw:.4g}, 0)",
-                        '        uniform token[] xformOpOrder = ["xformOp:rotateXYZ"]',
+                        orient,
+                        '        uniform token[] xformOpOrder = ["xformOp:orient"]',
                         "    }",
                     ]
                 else:
-                    p = lpos[li]
+                    if moving:
+                        t_samples = ", ".join(
+                            f"{t}: ({p[0]:.6g}, {p[1]:.6g}, {p[2]:.6g})"
+                            for t, p in enumerate(wpos)
+                        )
+                        trans = f"        double3 xformOp:translate.timeSamples = {{{t_samples}}}"
+                    else:
+                        p = wpos[0]
+                        trans = f"        double3 xformOp:translate = ({p[0]:.6g}, {p[1]:.6g}, {p[2]:.6g})"
                     lines += [
                         f'    def SphereLight "{lname}"',
                         "    {",
                         "        float inputs:intensity = 3000",
                         "        float inputs:radius = 0.05",
                         f"        color3f inputs:color = ({r:.4g}, {g:.4g}, {b:.4g})",
-                        f"        double3 xformOp:translate = ({p[0]:.6g}, {p[1]:.6g}, {p[2]:.6g})",
+                        trans,
                         '        uniform token[] xformOpOrder = ["xformOp:translate"]',
                         "    }",
                     ]
@@ -194,14 +275,39 @@ class USDExporter:
             focal = 12.0 / np.tan(np.radians(fovy) / 2.0)  # 24mm aperture
             cp = np.asarray(m.cam_pos)[ci]
             cq = np.asarray(m.cam_quat)[ci]
+            # cam pos/quat are body-frame: compose the carrying body's world
+            # pose (time-sampled for cameras mounted on moving bodies)
+            bid = int(np.asarray(m.cam_bodyid, dtype=int)[ci])
+            Rl = _quat_wxyz_to_mat(cq)
+            if self.frames:
+                wp = [f[2][bid] + f[3][bid] @ cp for f in self.frames]
+                wq = [_mat_to_quat_wxyz(f[3][bid] @ Rl) for f in self.frames]
+            else:
+                wp, wq = [cp], [cq]
+            moving = len(wp) > 1 and not np.allclose(wp[0], wp[-1])
+            if moving:
+                t_samples = ", ".join(
+                    f"{t}: ({p[0]:.6g}, {p[1]:.6g}, {p[2]:.6g})" for t, p in enumerate(wp)
+                )
+                q_samples = ", ".join(
+                    f"{t}: {_quat_to_usd(q)}" for t, q in enumerate(wq)
+                )
+                xf = [
+                    f"        double3 xformOp:translate.timeSamples = {{{t_samples}}}",
+                    f"        quatf xformOp:orient.timeSamples = {{{q_samples}}}",
+                ]
+            else:
+                xf = [
+                    f"        double3 xformOp:translate = ({wp[0][0]:.6g}, {wp[0][1]:.6g}, {wp[0][2]:.6g})",
+                    f"        quatf xformOp:orient = {_quat_to_usd(wq[0])}",
+                ]
             lines += [
                 f'    def Camera "{_sanitize(cname)}"',
                 "    {",
                 f"        float focalLength = {focal:.6g}",
                 "        float horizontalAperture = 24",
                 "        float verticalAperture = 24",
-                f"        double3 xformOp:translate = ({cp[0]:.6g}, {cp[1]:.6g}, {cp[2]:.6g})",
-                f"        quatf xformOp:orient = {_quat_to_usd(cq)}",
+                *xf,
                 '        uniform token[] xformOpOrder = ["xformOp:translate", "xformOp:orient"]',
                 "    }",
             ]

@@ -29,6 +29,8 @@ def test_usd_stage_contents(tmp_path):
     class FakeKin:
         geom_xpos = np.zeros((m.ngeom, 3))
         geom_xmat = np.tile(np.eye(3), (m.ngeom, 1, 1))
+        xpos = np.zeros((m.nbody, 3))
+        xmat = np.tile(np.eye(3), (m.nbody, 1, 1))
 
     ex.update_scene(FakeKin())
     ex.update_scene(FakeKin())
@@ -47,3 +49,35 @@ def test_usd_stage_contents(tmp_path):
     assert "faceVertexIndices" in text
     assert "timeSamples" in text
     assert 'rel material:binding = </Materials/mat_can_g0>' in text
+
+
+def test_usd_body_mounted_light_and_active_flag(tmp_path):
+    """Lights/cameras on non-world bodies export at the composed WORLD pose
+    (model light_pos is body-frame); inactive lights are skipped."""
+    ms = S.ModelSpec("usd_world2", make_world_option())
+    w = ms.worldbody
+    b = w.add_body(S.BodySpec("carrier", pos=(0, 0, 0.5)))
+    b.add_joint(S.JointSpec("cj", type="free"))
+    b.add_geom(S.GeomSpec("cg", type="sphere", size=(0.05,)))
+    b.lights.append(S.LightSpec(name="lamp", pos=(0.1, 0, 0), directional=False))
+    w.add_light(S.LightSpec(name="dead", pos=(9, 9, 9), directional=False, active=False))
+    m = ms.compile(device=False)
+
+    ex = USDExporter(m, framerate=20)
+
+    class FakeKin:
+        geom_xpos = np.zeros((m.ngeom, 3))
+        geom_xmat = np.tile(np.eye(3), (m.ngeom, 1, 1))
+        xpos = np.zeros((m.nbody, 3))
+        xmat = np.tile(np.eye(3), (m.nbody, 1, 1))
+
+    k = FakeKin()
+    bid = m.body_name2id("carrier")
+    k.xpos = k.xpos.copy()
+    k.xpos[bid] = [2.0, 3.0, 4.0]
+    ex.update_scene(k)
+    path = ex.save_scene(str(tmp_path / "scene2.usda"))
+    text = open(path).read()
+    # composed world position = body (2,3,4) + local (0.1,0,0)
+    assert "(2.1, 3, 4)" in text
+    assert 'def SphereLight "dead"' not in text
