@@ -119,5 +119,9 @@ def test_osc_torque_parity_random_states(lift_model):
     # r3: the M^-1 Newton refinement pulled p95 from ~1e-1 to ~5e-3; the
     # bound locks that in (measured p95 5.1e-3, median < 2e-3, max ~1.2e-1
     # on the worst near-singular probe).
-    assert np.percentile(err, 95) <= 2e-2
+    # r4: power-of-two Jacobi equilibration in _pinv_sym cut the worst-case
+    # error 8x (1.24e-1 -> 1.49e-2 measured; p95 5.1e-3 -> 3.5e-3); the
+    # exact (error-free) scaling leaves rollout-regime parity bit-stable.
+    assert err.max() <= 3e-2
+    assert np.percentile(err, 95) <= 7e-3
     assert np.median(err) <= 4e-3
