@@ -73,6 +73,9 @@ def bench_mpc_solves(env, n_ilqr_iters, relin_every=1):
         horizon=64, n_samples=32, noise_sigma=0.4, temperature=0.2,
         n_knots=8, n_ilqr_iters=n_ilqr_iters, plan_timestep=0.025,
         relin_every=relin_every,
+        # FD fx/fu on a one-substep 50 ms model: halves the dominant cost of
+        # a full-relin tick; the line search still rolls the 25 ms dynamics
+        fd_timestep=0.05 if n_ilqr_iters > 0 else None,
     )
     mpc = receding.RecedingMPC(env, cfg)
     solve_batch = mpc.make_solve_batch()

@@ -237,7 +237,7 @@ def gauss_newton_quadratics(residual: Callable, gn_reg: float = 1e-6):
 
 def solve(cfg: ILQRConfig, dynamics: Callable, cost: Callable, terminal_cost: Callable, x0, us_init,
           quadratics: Callable = None, terminal_quadratics: Callable = None,
-          frozen_lin=None):
+          frozen_lin=None, lin_dynamics: Callable = None):
     """Run iLQR. Returns ILQRSolution.
 
     quadratics (optional): (x, u, t) -> (cx, cu, cxx, cuu, cux) — overrides
@@ -252,9 +252,17 @@ def solve(cfg: ILQRConfig, dynamics: Callable, cost: Callable, terminal_cost: Ca
     about shifts by only one step per tick). Cost quadratics are still
     evaluated fresh; the line search still rolls the TRUE dynamics, so a
     stale linearization can degrade the step but never corrupt the plan.
+
+    lin_dynamics (optional): dynamics used ONLY for the fx/fu linearization
+    (FD or jacfwd) — e.g. a coarser-integration planning model. It must map
+    the same per-step state spacing as `dynamics` (one planned control
+    period); the rollout/line-search path always uses `dynamics`, so — as
+    with frozen_lin — a cheaper linearization can only shrink the accepted
+    step, never corrupt the plan.
     """
     nu = us_init.shape[-1]
     H = us_init.shape[0]
+    lin_src = dynamics if lin_dynamics is None else lin_dynamics
 
     if cfg.use_fd:
         def lin_dyn(x, u):
@@ -262,7 +270,7 @@ def solve(cfg: ILQRConfig, dynamics: Callable, cost: Callable, terminal_cost: Ca
             # differences in a single vmap (best lane packing through the
             # Pallas substep kernels)
             nx_, nu_ = x.shape[0], u.shape[0]
-            f0 = dynamics(x, u)
+            f0 = lin_src(x, u)
             dxs = jnp.concatenate([
                 jnp.eye(nx_, dtype=x.dtype),
                 jnp.zeros((nu_, nx_), dtype=x.dtype),
@@ -272,14 +280,14 @@ def solve(cfg: ILQRConfig, dynamics: Callable, cost: Callable, terminal_cost: Ca
                 jnp.eye(nu_, dtype=u.dtype),
             ])
             cols = jax.vmap(
-                lambda dx, du: dynamics(x + cfg.fd_eps * dx, u + cfg.fd_eps * du)
+                lambda dx, du: lin_src(x + cfg.fd_eps * dx, u + cfg.fd_eps * du)
             )(dxs, dus)
             cols = (cols - f0) / cfg.fd_eps  # (nx+nu, nx)
             return cols[:nx_].T, cols[nx_:].T
     else:
         jac = jax.jacfwd if cfg.use_jacfwd else jax.jacrev
-        _fx_fn = jac(dynamics, argnums=0)
-        _fu_fn = jac(dynamics, argnums=1)
+        _fx_fn = jac(lin_src, argnums=0)
+        _fu_fn = jac(lin_src, argnums=1)
 
         def lin_dyn(x, u):
             return _fx_fn(x, u), _fu_fn(x, u)

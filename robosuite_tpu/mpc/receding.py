@@ -66,6 +66,16 @@ class MPCConfig:
     fd_power_iters: int = 4           # linearization evals: the H*(nx+nu)
                                       # perturbed rollouts tolerate a coarser
                                       # contact solve than the nominal plan
+    fd_timestep: Optional[float] = None
+                                      # integrator dt for the FD linearization
+                                      # ONLY (None = plan_timestep). A coarser
+                                      # dt (e.g. one 50 ms substep per planned
+                                      # step instead of two 25 ms) halves the
+                                      # H*(nx+nu) FD sweep — the dominant cost
+                                      # of a full-relin tick — while the line
+                                      # search still rolls the plan-timestep
+                                      # dynamics, so a coarser linearization
+                                      # can only shrink the accepted step.
     u_cost: float = 0.05              # control-effort residual weight
     relin_every: int = 1              # RTI-style linearization reuse: run the
                                       # full FD linearization only every R-th
@@ -201,6 +211,26 @@ class RecedingMPC:
         es = self._plan_dyn_fn(self._to_env_state(x), u)
         return self._to_x(es)
 
+    def _ilqr_lin_dynamics(self, x, u):
+        """Coarse-dt dynamics for the FD fx/fu sweep only (cfg.fd_timestep):
+        same one-control-period state spacing, fewer integrator substeps."""
+        if not hasattr(self, "_lin_dyn_fn"):
+            lin_model = self.plan_model.replace(
+                timestep=self.cfg.fd_timestep,
+                solver_iters=self.cfg.fd_solver_iters,
+                solver_power_iters=self.cfg.fd_power_iters,
+            )
+            self._lin_model = lin_model  # keep the ref: fused cache keys on id
+            n_sub = max(1, int(round(1.0 / (self.env.control_freq * self.cfg.fd_timestep))))
+            self._lin_dyn_fn = self.env.make_plan_dynamics(lin_model, n_sub)
+        es = self._lin_dyn_fn(self._to_env_state(x), u)
+        return self._to_x(es)
+
+    @property
+    def _lin_dynamics_opt(self):
+        """lin_dynamics kwarg for ilqr.solve (None when fd_timestep unset)."""
+        return self._ilqr_lin_dynamics if self.cfg.fd_timestep else None
+
     def _ilqr_residual(self, x, u, t):
         qpos, qvel, _ = self._unravel_x(x)
         r_task = self._residual(self.env, self.plan_model, qpos, qvel, u)
@@ -240,7 +270,7 @@ class RecedingMPC:
             sol = ilqr_mod.solve(
                 ilqr_cfg, self._ilqr_dynamics, self._ilqr_cost,
                 self._ilqr_terminal, x0, mean, quadratics=quads,
-                frozen_lin=frozen,
+                frozen_lin=frozen, lin_dynamics=self._lin_dynamics_opt,
             )
             ok = jnp.all(jnp.isfinite(sol.us))
             us = jnp.where(ok, jnp.clip(sol.us, -1.0, 1.0), mean)
@@ -313,7 +343,7 @@ class RecedingMPC:
             sol = ilqr_mod.solve(
                 ilqr_cfg, self._ilqr_dynamics, self._ilqr_cost,
                 self._ilqr_terminal, x0, mean, quadratics=quads,
-                frozen_lin=frozen,
+                frozen_lin=frozen, lin_dynamics=self._lin_dynamics_opt,
             )
             ok = jnp.all(jnp.isfinite(sol.us))
             us = jnp.where(ok, jnp.clip(sol.us, -1.0, 1.0), mean)

@@ -234,3 +234,41 @@ def test_ilqr_frozen_lin_rti_reuse():
     # the stale linearization still refines, and is close to the full relin
     assert float(sol_rti.cost) < float(j_ws)
     assert float(sol_rti.cost) <= float(sol_full.cost) * 1.25 + 1e-3
+
+
+def test_ilqr_coarse_lin_dynamics():
+    """lin_dynamics (receding.MPCConfig.fd_timestep): fx/fu from a coarser-
+    integration model of the SAME per-step transition must still refine —
+    the line search rolls the true dynamics, so a coarse linearization can
+    only shrink the accepted step, never corrupt the plan."""
+    dt = 0.05
+
+    def dyn_fine(x, u):  # two half-steps per control period
+        for _ in range(2):
+            th, om = x[0], x[1]
+            om = om + 0.5 * dt * (u[0] * 2.0 - 9.81 * jnp.sin(th) - 0.1 * om)
+            x = jnp.stack([th + 0.5 * dt * om, om])
+        return x
+
+    def dyn_coarse(x, u):  # one full step per control period
+        th, om = x
+        om2 = om + dt * (u[0] * 2.0 - 9.81 * jnp.sin(th) - 0.1 * om)
+        return jnp.array([th + dt * om2, om2])
+
+    def cost(x, u, t):
+        return 0.1 * jnp.sum(u**2) + (jnp.cos(x[0]) + 1.0) ** 2 + 0.01 * x[1] ** 2
+
+    def terminal(x):
+        return 10.0 * ((jnp.cos(x[0]) + 1.0) ** 2 + 0.1 * x[1] ** 2)
+
+    x0 = jnp.array([0.1, 0.0])
+    us0 = jnp.zeros((40, 1))
+    cfg = ilqr.ILQRConfig(horizon=40, n_iterations=15, use_fd=True, fd_eps=1e-4)
+    sol_fine = jax.jit(lambda x, u: ilqr.solve(cfg, dyn_fine, cost, terminal, x, u))(x0, us0)
+    sol_mix = jax.jit(
+        lambda x, u: ilqr.solve(cfg, dyn_fine, cost, terminal, x, u,
+                                lin_dynamics=dyn_coarse)
+    )(x0, us0)
+    _, j0 = ilqr._rollout(dyn_fine, cost, terminal, x0, us0)
+    assert float(sol_mix.cost) < float(j0)  # refines from the warm start
+    assert float(sol_mix.cost) <= float(sol_fine.cost) * 1.10 + 1e-3
