@@ -19,7 +19,14 @@ def main():
     n_frames = int(sys.argv[2]) if len(sys.argv) > 2 else 20
     env = robosuite_tpu.make("Lift", robots="Panda", cube_size=[0.021, 0.021, 0.021])
     state, _ = env.reset(jax.random.PRNGKey(0))
-    exporter = USDExporter(env.model, framerate=env.control_freq)
+    # randomized visuals bake to texture files next to the stage
+    # (pass --textured to sample a TextureModder scenario)
+    visual = None
+    if "--textured" in sys.argv:
+        from robosuite_tpu.utils.mjmod import sample_visual_overrides
+
+        visual = sample_visual_overrides(env.model, jax.random.PRNGKey(7))
+    exporter = USDExporter(env.model, framerate=env.control_freq, visual=visual)
     rng = np.random.default_rng(0)
     for t in range(n_frames):
         action = rng.uniform(-1, 1, env.action_dim).astype(np.float32)

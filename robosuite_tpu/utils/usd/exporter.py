@@ -18,11 +18,52 @@ in the TPU container and open in any USD-aware DCC.
 from __future__ import annotations
 
 import os
+import struct
+import zlib
 from typing import List, Optional
 
 import numpy as np
 
 from robosuite_tpu.models import spec as S
+
+
+def _write_png(path, rgb):
+    """Write an (H, W, 3) uint8 array as a PNG (no PIL dependency — the
+    reference saves texture files via PIL, usd/utils.py save_path logic;
+    a minimal zlib encoder keeps the TPU container dependency-free)."""
+    rgb = np.ascontiguousarray(rgb, dtype=np.uint8)
+    h, w = rgb.shape[:2]
+    raw = b"".join(b"\x00" + rgb[i].tobytes() for i in range(h))
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    with open(path, "wb") as f:
+        f.write(b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+def _bake_texture(mode, rgb1, rgb2, seed, size=64):
+    """Evaluate the procedural texture model (the raycast renderer's
+    flat/checker/gradient/noise modes, renderers/raycast.py:268-320 — the
+    reference TextureModder's pattern family, mjmod.py rand_checker/
+    rand_gradient/rand_noise) into an (size, size, 3) uint8 image."""
+    u = np.linspace(0.0, 1.0, size, endpoint=False)
+    uu, vv = np.meshgrid(u, u, indexing="xy")
+    if mode == 1:  # checker: 8x8 cells over the unit square
+        w = (np.floor(uu * 8) + np.floor(vv * 8)) % 2.0
+    elif mode == 2:  # gradient along v
+        w = vv
+    elif mode == 3:  # noise: deterministic per-geom speckle
+        w = np.random.default_rng(seed).random((size, size))
+    else:  # flat
+        w = np.zeros((size, size))
+    rgb1 = np.asarray(rgb1, dtype=np.float64)[:3]
+    rgb2 = np.asarray(rgb2, dtype=np.float64)[:3]
+    img = rgb1[None, None] * (1.0 - w[..., None]) + rgb2[None, None] * w[..., None]
+    return (np.clip(img, 0.0, 1.0) * 255).astype(np.uint8)
 
 
 def _quat_to_usd(q):
@@ -89,12 +130,18 @@ def _sanitize(name):
 class USDExporter:
     """Collect frames (kin snapshots) and save a .usda stage."""
 
-    def __init__(self, model, camera_names=None, framerate=20, meshes=None):
+    def __init__(self, model, camera_names=None, framerate=20, meshes=None,
+                 visual=None):
         self.model = model
         self.framerate = framerate
         self.camera_names = camera_names
         self.meshes = meshes or {}  # mesh name -> hull card (verts, ...)
         self.frames = []  # list of (geom_xpos (ngeom,3), geom_xquat wxyz)
+        # visual override dict (utils/mjmod.py sample_visual_overrides):
+        # per-geom rgb / tex_mode / tex_rgb2 drive baked texture files —
+        # the reference's texture export path (usd/exporter.py writes the
+        # model's texture bitmaps next to the stage, usd/utils.py)
+        self.visual = visual or {}
 
     def update_scene(self, kin):
         from robosuite_tpu.utils import transforms as T
@@ -108,8 +155,34 @@ class USDExporter:
         )
 
     # -- materials ----------------------------------------------------------
-    def _material_block(self, name, rgba):
+    def _material_block(self, name, rgba, tex_file=None):
+        """UsdPreviewSurface material; with `tex_file`, diffuse comes from a
+        UsdUVTexture + UsdPrimvarReader_float2 network over baked texture
+        files (reference usd/exporter.py material/texture wiring)."""
         r, g, b, a = [float(x) for x in rgba]
+        if tex_file is None:
+            diffuse = f"                color3f inputs:diffuseColor = ({r:.4g}, {g:.4g}, {b:.4g})"
+            extra = []
+        else:
+            diffuse = (f"                color3f inputs:diffuseColor.connect = "
+                       f"</Materials/{name}/tex.outputs:rgb>")
+            extra = [
+                f'            def Shader "stReader"',
+                "            {",
+                '                uniform token info:id = "UsdPrimvarReader_float2"',
+                '                token inputs:varname = "st"',
+                "                float2 outputs:result",
+                "            }",
+                f'            def Shader "tex"',
+                "            {",
+                '                uniform token info:id = "UsdUVTexture"',
+                f"                asset inputs:file = @{tex_file}@",
+                f'                float2 inputs:st.connect = </Materials/{name}/stReader.outputs:result>',
+                '                token inputs:wrapS = "repeat"',
+                '                token inputs:wrapT = "repeat"',
+                "                float3 outputs:rgb",
+                "            }",
+            ]
         return [
             f'        def Material "{name}"',
             "        {",
@@ -117,11 +190,12 @@ class USDExporter:
             f'            def Shader "pbr"',
             "            {",
             '                uniform token info:id = "UsdPreviewSurface"',
-            f"                color3f inputs:diffuseColor = ({r:.4g}, {g:.4g}, {b:.4g})",
+            diffuse,
             f"                float inputs:opacity = {a:.4g}",
             "                float inputs:roughness = 0.6",
             '                token outputs:surface',
             "            }",
+            *extra,
             "        }",
         ]
 
@@ -147,12 +221,22 @@ class USDExporter:
         pts = ", ".join(f"({v[0]:.6g}, {v[1]:.6g}, {v[2]:.6g})" for v in verts)
         counts = ", ".join("3" for _ in tris)
         idx = ", ".join(str(int(i)) for t in tris for i in t)
+        # planar-projected per-vertex UVs so baked textures map onto hulls
+        lo, hi = verts.min(axis=0), verts.max(axis=0)
+        span = np.maximum(hi - lo, 1e-9)
+        st = ", ".join(
+            f"({(v[0] - lo[0]) / span[0]:.4g}, {(v[1] - lo[1]) / span[1]:.4g})"
+            for v in verts
+        )
         return [
             f'{indent}def Mesh "{name}"',
             indent + "{",
             f"{indent}    point3f[] points = [{pts}]",
             f"{indent}    int[] faceVertexCounts = [{counts}]",
             f"{indent}    int[] faceVertexIndices = [{idx}]",
+            f'{indent}    texCoord2f[] primvars:st = [{st}] (',
+            f'{indent}        interpolation = "vertex"',
+            f"{indent}    )",
             f'{indent}    uniform token subdivisionScheme = "none"',
             indent + "}",
         ]
@@ -172,14 +256,35 @@ class USDExporter:
             "",
         ]
 
-        # materials: one per geom (diffuse from rgba)
-        rgba = np.asarray(m.geom_rgba)
+        # materials: one per geom (diffuse from rgba / visual overrides);
+        # textured geoms (tex_mode != flat) get their pattern baked to a PNG
+        # next to the stage and a UsdUVTexture network (the reference writes
+        # the model's texture bitmaps alongside the stage, usd/utils.py)
+        rgba = np.asarray(m.geom_rgba).copy()
+        vis = self.visual
+        if "rgb" in vis:
+            rgba[:, :3] = np.asarray(vis["rgb"])
+        tex_mode = np.asarray(vis["tex_mode"]) if "tex_mode" in vis else None
+        tex_rgb2 = np.asarray(vis.get("tex_rgb2", rgba[:, :3]))
+        tex_dir = os.path.splitext(os.path.basename(filename))[0] + "_textures"
+        out_dir = os.path.dirname(os.path.abspath(filename))
+        tex_files = [None] * m.ngeom
+        if tex_mode is not None:
+            os.makedirs(os.path.join(out_dir, tex_dir), exist_ok=True)
+            for g in range(m.ngeom):
+                mode = int(tex_mode[g])
+                if mode == 0:
+                    continue
+                rel = f"{tex_dir}/{_sanitize(m.geom_names[g])}.png"
+                img = _bake_texture(mode, rgba[g, :3], tex_rgb2[g], seed=g)
+                _write_png(os.path.join(out_dir, rel), img)
+                tex_files[g] = rel
         lines += ['def Scope "Materials"', "{"]
         mat_names = []
         for g in range(m.ngeom):
             name = "mat_" + _sanitize(m.geom_names[g])
             mat_names.append(name)
-            lines += self._material_block(name, rgba[g])
+            lines += self._material_block(name, rgba[g], tex_file=tex_files[g])
         lines.append("}")
         lines.append("")
 
