@@ -27,11 +27,55 @@ desired/origin-referenced (base moving), matching reference :255-266.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Tuple
+from typing import Callable, Dict, List, Tuple
 
 from robosuite_tpu.controllers.factory import arm_controller_config
 
 REGISTERED_COMPOSITE_CONTROLLERS = ("BASIC", "HYBRID_MOBILE_BASE", "WHOLE_BODY_IK")
+
+# -- third-party composite controllers --------------------------------------
+# The reference exposes @register_composite_controller so external packages
+# can plug a custom whole-body controller (composite_controller.py:15-27;
+# examples/third_party_controller/mink_controller.py registers
+# WHOLE_BODY_MINK_IK). The TPU analog: a registered GOAL TRANSFORM — a pure
+# jittable function run at policy rate that maps per-arm task-space targets
+# to joint-position goals; the runtime part controllers then track them at
+# substep rate (exactly how the built-in WHOLE_BODY_IK integrates,
+# robots/robot.py _set_goals_wbik).
+
+
+@dataclasses.dataclass(frozen=True)
+class ThirdPartyComposite:
+    """A registered third-party composite controller.
+
+    goal_fn(robot, kin, qpos, qvel, targets, cfg) -> {part_name: goal_qpos}
+      robot:   the runtime robot (arm_qpos_idx / arm_view / eef_site_id ...)
+      kin:     KinData at the policy tick
+      targets: {arm: (arm_action_dim,) action slice}
+      cfg:     the user's composite_controller_specific_configs dict
+    Returned joint-position goals are tracked by per-arm JOINT_POSITION
+    part controllers (kp from the part config)."""
+
+    name: str
+    goal_fn: Callable
+    arm_action_dim: int = 6
+
+
+THIRD_PARTY_COMPOSITE_CONTROLLERS: Dict[str, ThirdPartyComposite] = {}
+
+
+def register_composite_controller(name: str, arm_action_dim: int = 6):
+    """Decorator registering a third-party composite goal transform under
+    `name` (usable as controller_configs={"type": name, ...}). Reference
+    analog: @register_composite_controller, composite_controller.py:15-27."""
+
+    def deco(fn):
+        THIRD_PARTY_COMPOSITE_CONTROLLERS[name] = ThirdPartyComposite(
+            name=name, goal_fn=fn, arm_action_dim=arm_action_dim
+        )
+        return fn
+
+    return deco
 
 
 @dataclasses.dataclass(frozen=True)

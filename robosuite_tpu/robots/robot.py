@@ -114,6 +114,32 @@ class FixedBaseRobot:
         # qpos targets over torso+arms (controllers/composite/wbik.py); the
         # per-part controllers below then run JOINT_POSITION tracking.
         self._wbik_spec = None
+        # third-party composite controllers (reference
+        # @register_composite_controller, composite_controller.py:15-27):
+        # a registered goal transform maps task targets -> qpos goals, then
+        # per-arm JOINT_POSITION parts track them (the WBIK integration
+        # pattern below)
+        self._custom_composite = None
+        if isinstance(controller_config, dict) and controller_config.get("type"):
+            from robosuite_tpu.controllers.composite.composite_controller import (
+                THIRD_PARTY_COMPOSITE_CONTROLLERS,
+            )
+
+            entry = THIRD_PARTY_COMPOSITE_CONTROLLERS.get(controller_config["type"])
+            if entry is not None:
+                self._custom_composite = (
+                    entry,
+                    dict(controller_config.get("composite_controller_specific_configs", {})),
+                )
+                from robosuite_tpu.controllers.factory import arm_controller_config
+
+                controller_config = {
+                    arm: arm_controller_config(
+                        "JOINT_POSITION", dim=len(self.arm_joint_ids[arm]),
+                        kp=1000.0, input_type="absolute",
+                    )
+                    for arm in self.arms
+                }
         if isinstance(controller_config, dict) and controller_config.get("type") == "WHOLE_BODY_IK":
             self._wbik_spec = dict(
                 controller_config.get("composite_controller_specific_configs", {})
@@ -174,11 +200,21 @@ class FixedBaseRobot:
         raise TypeError(f"no controller module for config {type(cfg)}")
 
     # -- action vector layout (reference composite_controller.py:86-95) -------
+    def _arm_cmd_dim(self, arm) -> int:
+        """Per-arm action width: task-space target width for whole-body
+        composites (built-in WBIK = 6; third-party = its arm_action_dim),
+        the part controller's control_dim otherwise."""
+        if self._custom_composite is not None:
+            return self._custom_composite[0].arm_action_dim
+        if self._wbik_spec is not None:
+            return 6
+        return self.arm_cfg[arm].control_dim
+
     @property
     def action_dim(self) -> int:
         d = 0
         for arm in self.arms:
-            d += 6 if self._wbik_spec is not None else self.arm_cfg[arm].control_dim
+            d += self._arm_cmd_dim(arm)
             d += self.rm.grippers[arm].dof if arm in self.rm.grippers else 0
         return d
 
@@ -191,7 +227,7 @@ class FixedBaseRobot:
         out = {}
         i = 0
         for arm in self.arms:
-            cd = 6 if self._wbik_spec is not None else self.arm_cfg[arm].control_dim
+            cd = self._arm_cmd_dim(arm)
             out[arm] = (i, i + cd)
             i += cd
         for arm in self.arms:
@@ -396,8 +432,34 @@ class FixedBaseRobot:
                 )
         return RobotCtrlState(arm=new, gripper_action=new_grip)
 
+    def _set_goals_custom(self, kin, M, bias, qpos, qvel, ctrl_state: RobotCtrlState, action) -> RobotCtrlState:
+        """Third-party composite policy-rate update: the registered goal
+        transform maps per-arm task targets to joint-position goals, tracked
+        by the JOINT_POSITION part controllers (reference third-party
+        controller integration, examples/third_party_controller/
+        mink_controller.py + composite_controller.py:15-27)."""
+        entry, cfg = self._custom_composite
+        idx = self.action_split_indexes()
+        targets = {arm: action[..., slice(*idx[arm])] for arm in self.arms}
+        goals = entry.goal_fn(self, kin, qpos, qvel, targets, cfg)
+
+        new = dict(ctrl_state.arm)
+        new_grip = dict(ctrl_state.gripper_action)
+        for name, q_des in goals.items():
+            prev = ctrl_state.arm[name]
+            new[name] = jp_mod.JointPosState(goal_qpos=q_des, kp=prev.kp, kd=prev.kd)
+        for arm in self.arms:
+            gs, ge = idx[f"{arm}_gripper"]
+            if arm in self.rm.grippers and self.rm.grippers[arm].dof > 0:
+                new_grip[arm] = self._gripper_goal(
+                    arm, ctrl_state.gripper_action[arm], action[..., gs:ge], qpos.dtype
+                )
+        return RobotCtrlState(arm=new, gripper_action=new_grip)
+
     def set_goals(self, kin, M, bias, qpos, qvel, ctrl_state: RobotCtrlState, action) -> RobotCtrlState:
         """Policy-rate goal update (reference composite set_goal path)."""
+        if self._custom_composite is not None:
+            return self._set_goals_custom(kin, M, bias, qpos, qvel, ctrl_state, action)
         if self._wbik_spec is not None:
             return self._set_goals_wbik(kin, M, bias, qpos, qvel, ctrl_state, action)
         split = self.split_action(action)
@@ -621,6 +683,8 @@ class MobileRobot(FixedBaseRobot):
         return RobotCtrlState(arm=parts, gripper_action=st.gripper_action)
 
     def set_goals(self, kin, M, bias, qpos, qvel, ctrl_state: RobotCtrlState, action) -> RobotCtrlState:
+        if self._custom_composite is not None:
+            return self._set_goals_custom(kin, M, bias, qpos, qvel, ctrl_state, action)
         if self._wbik_spec is not None:
             return self._set_goals_wbik(kin, M, bias, qpos, qvel, ctrl_state, action)
         idx = self.action_split_indexes()
