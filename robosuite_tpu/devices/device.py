@@ -42,19 +42,35 @@ class Device(metaclass=abc.ABCMeta):
 
     def input2action(self) -> Optional[np.ndarray]:
         """Map current device state to a full env action
-        (reference device.py:90-202; delta-OSC arms)."""
+        (reference device.py:90-202 input2action + :204-328 get_arm_action:
+        the command lands in the ACTIVE arm's slice of the composite action
+        layout; other arms hold zero/no-op)."""
         st = self.get_controller_state()
         if st.reset:
             return None
         action = np.zeros(self.env.action_dim, dtype=np.float32)
         # arm slice: [dpos (3), drot (3)] scaled into [-1, 1]
-        arm = np.concatenate(
+        arm_cmd = np.concatenate(
             [
                 np.clip(st.dpos * self.pos_sensitivity, -1, 1),
                 np.clip(st.raw_drotation * self.rot_sensitivity, -1, 1),
             ]
         )
-        action[:6] = arm
-        if self.env.action_dim > 6:
-            action[6] = st.grasp
+        robot = self.env.robots[0] if getattr(self.env, "robots", None) else None
+        split = robot.action_split_indexes() if robot is not None else {}
+        arm = self.active_arm if self.active_arm in split else (
+            robot.arms[0] if robot is not None else "right"
+        )
+        if arm in split:
+            s, e = split[arm]
+            w = min(e - s, 6)
+            action[s : s + w] = arm_cmd[:w]
+            gkey = f"{arm}_gripper"
+            if gkey in split and split[gkey][1] > split[gkey][0]:
+                gs, ge = split[gkey]
+                action[gs:ge] = st.grasp
+        else:  # no robot handle: legacy head-of-vector layout
+            action[:6] = arm_cmd
+            if self.env.action_dim > 6:
+                action[6] = st.grasp
         return action

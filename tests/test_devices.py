@@ -79,3 +79,38 @@ def test_headless_devices_are_zero_action(lift_env):
         a = dev.input2action()
         assert a is not None and a.shape == (lift_env.action_dim,)
         np.testing.assert_array_equal(a[:6], 0.0)
+
+
+def test_input2action_routes_to_active_arm():
+    """The device command lands in the ACTIVE arm's slice of the composite
+    action layout (reference device.py:204-328 get_arm_action routing)."""
+    import robosuite_tpu
+    from robosuite_tpu.devices.device import Device, DeviceState
+
+    env = robosuite_tpu.make("TwoArmLift", robots=("Panda", "Panda"))
+
+    class Scripted(Device):
+        def start_control(self):
+            pass
+
+        def get_controller_state(self):
+            return DeviceState(
+                dpos=np.array([0.5, 0.0, 0.0]),
+                raw_drotation=np.zeros(3),
+                grasp=1.0,
+            )
+
+    # two robots -> robots[0] owns the right arm only; route to it
+    dev = Scripted(env, active_arm="right")
+    act = dev.input2action()
+    split = env.robots[0].action_split_indexes()
+    s, e = split["right"]
+    assert act[s] == 0.5
+    gs, ge = split["right_gripper"]
+    if ge > gs:
+        assert act[gs] == 1.0
+    # everything outside the commanded slices stays zero
+    mask = np.ones(env.robots[0].action_dim, dtype=bool)
+    mask[s:s + 6] = False
+    mask[gs:ge] = False
+    assert np.all(act[: env.robots[0].action_dim][mask] == 0)

@@ -10,7 +10,12 @@ Run AFTER bench.py (the axon tunnel serializes TPU processes).
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
+
+# runnable as `python tools/bench_configs.py` without installing the package
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 CONFIGS = [
