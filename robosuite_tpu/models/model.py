@@ -91,6 +91,13 @@ class Model:
     # power-iteration count for the APGD step-size estimate (None ->
     # contact.POWER_ITERS); planning/linearization models can cheapen it
     solver_power_iters: Optional[int] = _static(default=None)
+    # per-pair contact-manifold point cap override (None -> contact.
+    # MANIFOLD_CAP). Reduced-manifold PLANNING models (mpc/receding.py)
+    # use 1-2 points per pair: halves the solver's row count (APGD matvec
+    # cost ~ nv*ntot) and the fused megakernel's VMEM-resident whitened
+    # operator, which is what lets the kernel pack 8 scenarios into VPU
+    # sublanes. Execution models keep the full manifolds.
+    pair_points_cap: Optional[int] = _static(default=None)
 
     # ---- array parameters --------------------------------------------------
     body_pos: Any = None          # (nbody, 3)

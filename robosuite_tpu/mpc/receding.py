@@ -62,6 +62,16 @@ class MPCConfig:
     plan_timestep: float = 0.01       # planning-model integrator dt
     plan_solver_iters: int = 10       # planning-model APGD iterations
                                       # (execution keeps contact.APGD_ITERS)
+    plan_pair_points: Optional[int] = 2
+                                      # per-pair contact-manifold points for
+                                      # the PLANNING model (None = the
+                                      # execution manifolds). 2 points keep
+                                      # resting/grasp behavior for planning
+                                      # while halving the solver rows — and
+                                      # the smaller VMEM live set is what
+                                      # lets the fused substep kernel pack 8
+                                      # scenarios per VPU sublane tile.
+                                      # Execution always runs full manifolds.
     fd_solver_iters: int = 6          # APGD iterations for iLQR's FD
     fd_power_iters: int = 4           # linearization evals: the H*(nx+nu)
                                       # perturbed rollouts tolerate a coarser
@@ -127,7 +137,8 @@ class RecedingMPC:
         self.env = env
         self.cfg = cfg
         self.plan_model = env.model.replace(
-            timestep=cfg.plan_timestep, solver_iters=cfg.plan_solver_iters
+            timestep=cfg.plan_timestep, solver_iters=cfg.plan_solver_iters,
+            pair_points_cap=cfg.plan_pair_points,
         )
         self.plan_substeps = max(1, int(round(1.0 / (env.control_freq * cfg.plan_timestep))))
         if residual is None:

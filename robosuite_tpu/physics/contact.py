@@ -85,6 +85,14 @@ def pair_points(t1: int, t2: int) -> int:
     return min(pair_max_points(t1, t2), MANIFOLD_CAP)
 
 
+def model_pair_points(model, t1: int, t2: int) -> int:
+    """Model-aware points per pair: Model.pair_points_cap (reduced-manifold
+    planning models) tightens the global MANIFOLD_CAP."""
+    cap = model.pair_points_cap
+    n = pair_points(t1, t2)
+    return min(n, cap) if cap else n
+
+
 def contact_row_layout(model):
     """Static map candidate-pair index -> contact-buffer row indices.
 
@@ -103,7 +111,7 @@ def contact_row_layout(model):
     rows = {}
     row = 0
     for key in sorted(groups):
-        npts = pair_points(*key)
+        npts = model_pair_points(model, *key)
         for k in groups[key]:
             rows[k] = list(range(row, row + npts))
             row += npts
@@ -565,10 +573,11 @@ def narrowphase(model, kin, pairs=None):
         )  # d: (P, npts), p/n: (P, npts, 3)
         flip_sign = np.array([-1.0 if it[3] else 1.0 for it in items], dtype=np.float32)
         n = n * flip_sign[:, None, None]
-        # manifold reduction: keep the MANIFOLD_CAP deepest points per pair
-        # (see MANIFOLD_CAP note — static row layout, no global compaction)
-        if d.shape[1] > MANIFOLD_CAP:
-            _, idx = jax.lax.top_k(-d, MANIFOLD_CAP)  # (P, CAP)
+        # manifold reduction: keep the (model-aware) cap's deepest points per
+        # pair (see MANIFOLD_CAP note — static row layout, no compaction)
+        cap_ = model_pair_points(model, t1, t2)
+        if d.shape[1] > cap_:
+            _, idx = jax.lax.top_k(-d, cap_)  # (P, CAP)
             d = jnp.take_along_axis(d, idx, axis=1)
             p = jnp.take_along_axis(p, idx[:, :, None], axis=1)
             n = jnp.take_along_axis(n, idx[:, :, None], axis=1)
@@ -650,7 +659,7 @@ def contact_warmstart_dim(model):
     for k in range(model.npair):
         t1 = model.geom_type[model.pair_geom1[k]]
         t2 = model.geom_type[model.pair_geom2[k]]
-        nc_total += pair_points(t1, t2)
+        nc_total += model_pair_points(model, t1, t2)
     K = min(ROW_CAP, nc_total) if uses_row_compaction(model) else nc_total
     ne = 0
     if model.neq:
@@ -743,7 +752,7 @@ def uses_row_compaction(model) -> bool:
     for k in range(model.npair):
         t1 = model.geom_type[model.pair_geom1[k]]
         t2 = model.geom_type[model.pair_geom2[k]]
-        n += pair_points(t1, t2)
+        n += model_pair_points(model, t1, t2)
     return model.nv * 3 * n > ROW_VMEM_BUDGET
 
 

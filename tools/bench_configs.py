@@ -83,6 +83,17 @@ def bench_one(name, env_name, robots, controller, horizon, plan_dt):
 def main():
     import jax
 
+    # The interactive TPU environment pins JAX_PLATFORMS=axon via a
+    # sitecustomize hook; a clean driver shell inherits the env var without
+    # the plugin registration, and every backend init then fails with
+    # "Backend 'axon' is not in the list of known backends". Fall back to
+    # auto-selection (tpu if present, else cpu) instead of erroring out.
+    try:
+        jax.devices()
+    except RuntimeError:
+        jax.config.update("jax_platforms", "")
+        jax.devices()
+
     jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
     rows = []
     for spec in CONFIGS:
