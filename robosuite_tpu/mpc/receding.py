@@ -62,16 +62,19 @@ class MPCConfig:
     plan_timestep: float = 0.01       # planning-model integrator dt
     plan_solver_iters: int = 10       # planning-model APGD iterations
                                       # (execution keeps contact.APGD_ITERS)
-    plan_pair_points: Optional[int] = 2
+    plan_pair_points: Optional[int] = None
                                       # per-pair contact-manifold points for
-                                      # the PLANNING model (None = the
-                                      # execution manifolds). 2 points keep
-                                      # resting/grasp behavior for planning
-                                      # while halving the solver rows — and
-                                      # the smaller VMEM live set is what
-                                      # lets the fused substep kernel pack 8
-                                      # scenarios per VPU sublane tile.
-                                      # Execution always runs full manifolds.
+                                      # the PLANNING model (None = the same
+                                      # manifolds as execution — the default,
+                                      # so planning dynamics match the config
+                                      # that was parity-validated). Opt in to
+                                      # 1-2 points to halve the solver rows
+                                      # (APGD matvec ~ nv*ntot) for big
+                                      # worlds; 2-point manifolds cannot
+                                      # resist roll about the contact line,
+                                      # so validate task success before
+                                      # enabling. Execution always runs full
+                                      # manifolds.
     fd_solver_iters: int = 6          # APGD iterations for iLQR's FD
     fd_power_iters: int = 4           # linearization evals: the H*(nx+nu)
                                       # perturbed rollouts tolerate a coarser

@@ -169,19 +169,11 @@ def constrained_vel_lanes(nv, ntot, K, ne, iters, power_iters, dt_step,
     """Lane-level constrained velocity update (the kernel body, reusable by
     the fused substep megakernel in ops/pallas_substep.py).
 
-    A_rows: M as per-entry lane rows; damp/qv/qf: lists of rows; JfT:
-    (nv, ntot, *rs) stacked array OR a length-nv list of (ntot, *rs)
-    arrays; aref_a/reg3_a: (ntot, *rs); mu/act: (K, *rs), where the row
-    shape rs is (128,) for lane-vector blocks or (SUBS, 128) for
-    sublane-packed blocks. The LIST form matters for the sublane-packed
-    megakernel: a stacked JfT stays fully VMEM-resident until its last
-    slice is read in the substitution below, doubling the peak live set
-    (JfT + Y together dominate scoped VMEM); list entries die one by one.
-    Returns (qvel_new rows list, f (ntot, *rs))."""
+    A_rows: M as per-entry (128,) lane rows; damp/qv/qf: lists of (128,);
+    JfT: (nv, ntot, 128); aref_a/reg3_a: (ntot, 128); mu/act: (K, 128).
+    Returns (qvel_new rows list, f (ntot, 128))."""
     if True:
-        jf_list = list(JfT) if isinstance(JfT, (list, tuple)) else [JfT[i] for i in range(nv)]
-        dt = jf_list[0].dtype
-        rs = aref_a.shape[1:]  # per-scenario row shape
+        dt = JfT.dtype
         # ---- factor M, solve qacc_smooth ----------------------------------
         Lr = _chol_rows(A_rows, nv)
         qacc_l = _chol_solve_vec(Lr, [qf[i] - damp[i] * qv[i] for i in range(nv)], nv)
@@ -192,12 +184,12 @@ def constrained_vel_lanes(nv, ntot, K, ne, iters, power_iters, dt_step,
         # Jf qacc as Y^T (L^T qacc).
         y = [None] * nv
         for i in range(nv):
-            s = jf_list[i]          # (ntot, *rs)
-            jf_list[i] = None       # last use: let it die
+            s = JfT[i]              # (ntot, 128)
             for k in range(i):
                 s = s - Lr[i][k][None, :] * y[k]
             y[i] = s / Lr[i][i][None, :]
-        Y = jnp.stack(y)            # (nv, ntot, *rs)
+        Y = jnp.stack(y)            # (nv, ntot, 128)
+        del JfT
 
         # ---- diagA, R, rhs -------------------------------------------------
         diagA = jnp.maximum(jnp.sum(Y * Y, axis=0), 1e-8)  # (ntot, 128)
@@ -209,7 +201,7 @@ def constrained_vel_lanes(nv, ntot, K, ne, iters, power_iters, dt_step,
             for k in range(i + 1, nv):
                 s = s + Lr[k][i] * qacc_l[k]
             vts[i] = s
-        a0 = jnp.zeros((ntot,) + rs, dtype=dt)
+        a0 = jnp.zeros((ntot, LANES), dtype=dt)
         for i in range(nv):
             a0 = a0 + Y[i] * vts[i][None, :]
         rhs = aref_a - a0
@@ -237,7 +229,7 @@ def constrained_vel_lanes(nv, ntot, K, ne, iters, power_iters, dt_step,
         # active-submatrix only (see _apgd_xla rowmask note)
         if ne:
             rowmask = jnp.concatenate(
-                [act, act, act, jnp.ones((ne,) + rs, dtype=dt)], axis=0
+                [act, act, act, jnp.ones((ne, LANES), dtype=dt)], axis=0
             )
         else:
             rowmask = jnp.concatenate([act, act, act], axis=0)
@@ -252,9 +244,9 @@ def constrained_vel_lanes(nv, ntot, K, ne, iters, power_iters, dt_step,
         inv_L = 1.0 / (1.1 * L_est)  # (128,)
 
         # ---- APGD ----------------------------------------------------------
-        f = jnp.zeros((ntot,) + rs, dtype=dt)
+        f = jnp.zeros((ntot, LANES), dtype=dt)
         yv = f
-        t_m = jnp.ones(rs, dtype=dt)
+        t_m = jnp.ones((LANES,), dtype=dt)
         for _ in range(iters):
             g = matvec(yv) - rhs
             f_new = project(yv - inv_L[None, :] * g)

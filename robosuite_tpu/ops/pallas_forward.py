@@ -195,11 +195,8 @@ def forward_lane_body(model, q, qd, mass, inertia, grav_in, arma, dtype):
                 free_trans.add(model.jnt_dofadr[j] + i)
 
     if True:  # (indentation shim: body below unchanged from the kernel)
-        # row shape from the inputs: (LANES,) for lane-vector blocks, or
-        # (SUBS, LANES) when the caller packs batch into sublanes too
-        # (pallas_substep's sublane-packed dispatch)
-        one = jnp.ones(q[0].shape, dtype=dtype)
-        zero = jnp.zeros(q[0].shape, dtype=dtype)
+        one = jnp.ones((LANES,), dtype=dtype)
+        zero = jnp.zeros((LANES,), dtype=dtype)
 
         def const3(arr):
             return (arr[0] * one, arr[1] * one, arr[2] * one)

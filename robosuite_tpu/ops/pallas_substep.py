@@ -656,15 +656,13 @@ def _make_substep_kernel(model, spec: FusedSpec, solver_iters: int, power_iters:
                goal_ref, gains_ref, grip_ref,
                qpos_out, qvel_out, f_out, *aux_out):
         dtype = qpos_ref.dtype
-        # blocks are (rows, 1, SUBS, LANES); [i, 0] reads row i as one
-        # (SUBS, LANES) tile — SUBS batch scenarios per sublane
-        q = [qpos_ref[i, 0] for i in range(nq)]
-        qd = [qvel_ref[i, 0] for i in range(nv)]
-        mass = [mass_ref[b, 0] for b in range(nb)]
-        inertia = [(inertia_ref[b, 0, 0], inertia_ref[b, 1, 0], inertia_ref[b, 2, 0])
+        q = [qpos_ref[i] for i in range(nq)]
+        qd = [qvel_ref[i] for i in range(nv)]
+        mass = [mass_ref[b] for b in range(nb)]
+        inertia = [(inertia_ref[b, 0], inertia_ref[b, 1], inertia_ref[b, 2])
                    for b in range(nb)]
-        grav = (grav_ref[0, 0], grav_ref[1, 0], grav_ref[2, 0])
-        arma = [arma_ref[d, 0] for d in range(nv)]
+        grav = (grav_ref[0], grav_ref[1], grav_ref[2])
+        arma = [arma_ref[d] for d in range(nv)]
 
         fw = forward_lane_body(model, q, qd, mass, inertia, grav, arma, dtype)
         one, zero = fw.one, fw.zero
@@ -676,7 +674,7 @@ def _make_substep_kernel(model, spec: FusedSpec, solver_iters: int, power_iters:
             for i, a in enumerate(arm.actuator_ids):
                 ctrl[a] = tau[i]
             for i, a in enumerate(spec.grip_actuators):
-                ctrl[a] = grip_ref[i, 0]
+                ctrl[a] = grip_ref[i]
 
             # ---- smooth forces (engine._total_smooth_force, lane form) ---------
             qfrc = [zero] * nv
@@ -795,14 +793,11 @@ def _make_substep_kernel(model, spec: FusedSpec, solver_iters: int, power_iters:
                 mu_rows.append(p["friction"] * one)
                 act_rows.append(active)
 
-            # assemble grouped (ntot, *rs) arrays: [normals | t1 | t2].
-            # JfT stays a PER-DOF LIST (not one stacked (nv, ntot, *rs)
-            # array): the solver's forward substitution reads each dof slice
-            # exactly once, and list entries die individually instead of the
-            # whole stack staying VMEM-resident next to Y (the peak that
-            # OOMed the sublane-packed kernel).
-            all_rows = Jn_rows + Jt1_rows + Jt2_rows
-            JfT = [jnp.stack([Jr[i] for Jr in all_rows]) for i in range(nv)]
+            # assemble grouped (ntot, LANES) arrays: [normals | t1 | t2]
+            JfT = jnp.stack([
+                jnp.stack([Jr[i] for Jr in Jn_rows + Jt1_rows + Jt2_rows])
+                for i in range(nv)
+            ])  # (nv, ntot, LANES)
             aref = jnp.stack(aref_n_rows + aref_t1_rows + aref_t2_rows)
             reg3 = jnp.stack(regn_rows + regt_rows + regt_rows)
             mu = jnp.stack(mu_rows)
@@ -841,9 +836,9 @@ def _make_substep_kernel(model, spec: FusedSpec, solver_iters: int, power_iters:
                 for i in range(4):
                     q_out[qa + i] = o[i] / nrm
 
-            qpos_out[...] = jnp.stack(q_out)[:, None]
-            qvel_out[...] = jnp.stack(qvel_new)[:, None]
-            f_out[...] = f[:, None]
+            qpos_out[...] = jnp.stack(q_out)
+            qvel_out[...] = jnp.stack(qvel_new)
+            f_out[...] = f
 
             if emit_aux:
                 # POST-step aux: pose-only FK on the integrated qpos, site/body
@@ -873,12 +868,12 @@ def _make_substep_kernel(model, spec: FusedSpec, solver_iters: int, power_iters:
                     sp2 = _add(xpos2[b], _quat_rot(xquat2[b], c3(site_pos_c[s_i])))
                     sR2 = _quat2mat(_quat_mul(xquat2[b], c4(site_quat_c[s_i])))
                     for i in range(3):
-                        sx_out[s_i * 3 + i, 0] = sp2[i]
+                        sx_out[s_i * 3 + i] = sp2[i]
                         for jj in range(3):
-                            sm_out[s_i * 9 + i * 3 + jj, 0] = sR2[i][jj]
+                            sm_out[s_i * 9 + i * 3 + jj] = sR2[i][jj]
                 for b in range(nb):
                     for i in range(3):
-                        bx_out[b * 3 + i, 0] = xpos2[b][i]
+                        bx_out[b * 3 + i] = xpos2[b][i]
                 for pi, p in enumerate(pairs):
                     g1, g2 = p["g1"], p["g2"]
                     b1g, b2g = model.geom_bodyid[g1], model.geom_bodyid[g2]
@@ -893,15 +888,15 @@ def _make_substep_kernel(model, spec: FusedSpec, solver_iters: int, power_iters:
                     dmin = cands[0][0]
                     for d_, _, _ in cands[1:]:
                         dmin = jnp.minimum(dmin, d_)
-                    pd_out[pi, 0] = dmin
+                    pd_out[pi] = dmin
 
 
 
         if arm.ctrl_type == "joint_pos":
             # ---- JOINT_POSITION law (reference joint_pos.py:233-272) -------
-            goal_q = [goal_ref[i, 0] for i in range(na)]
-            kp_j = [gains_ref[i, 0] for i in range(na)]
-            kd_j = [gains_ref[na + i, 0] for i in range(na)]
+            goal_q = [goal_ref[i] for i in range(na)]
+            kp_j = [gains_ref[i] for i in range(na)]
+            kd_j = [gains_ref[na + i] for i in range(na)]
             des = [kp_j[i] * (goal_q[i] - q[arm.qp_idx[i]]) - kd_j[i] * qd[arm.qv_idx[i]]
                    for i in range(na)]
             tau = [None] * na
@@ -920,10 +915,10 @@ def _make_substep_kernel(model, spec: FusedSpec, solver_iters: int, power_iters:
         # ---- OSC torque law (reference osc.py:437-495, lane form) ----------
         sp, sR = fw.site_pose(arm.eef_site)
         op, oR = fw.site_pose(arm.center_site)
-        desired_pos = (goal_ref[0, 0], goal_ref[1, 0], goal_ref[2, 0])
-        desired_ori = tuple(tuple(goal_ref[3 + i * 3 + j, 0] for j in range(3)) for i in range(3))
-        kp6 = [gains_ref[i, 0] for i in range(6)]
-        kd6 = [gains_ref[6 + i, 0] for i in range(6)]
+        desired_pos = (goal_ref[0], goal_ref[1], goal_ref[2])
+        desired_ori = tuple(tuple(goal_ref[3 + i * 3 + j] for j in range(3)) for i in range(3))
+        kp6 = [gains_ref[i] for i in range(6)]
+        kd6 = [gains_ref[6 + i] for i in range(6)]
 
         # orientation error: 0.5 * sum_i cross(current_col_i, desired_col_i)
         oe = (zero, zero, zero)
@@ -1093,36 +1088,6 @@ def _make_substep_kernel(model, spec: FusedSpec, solver_iters: int, power_iters:
 # ---------------------------------------------------------------------------
 
 
-def _default_subs(model, ntot):
-    """Sublane packing factor: batch elements per VPU sublane row. Each
-    kernel value is one (SUBS, 128) tile, so SUBS=8 fills the native f32
-    (8, 128) VPU tile (8x the elementwise throughput of the SUBS=1
-    lane-vector layout) — but every VMEM-resident row also grows 8x, so
-    big-solver worlds cap it. Dominant live set: the whitened contact
-    operator Y (nv*ntot rows) plus APGD iterates (~8*ntot) and the
-    factorizations (~4*nv^2); budget ~12 MB of the 16 MB VMEM."""
-    import os
-
-    env = os.environ.get("ROBOSUITE_TPU_SUBS")
-    if env:
-        return max(1, min(8, int(env)))
-    nv = model.nv
-    # live-value estimate calibrated against measured Mosaic scoped-VMEM
-    # peaks (Lift plan model, cap=2: 3333 est vs ~3200 measured; Lift
-    # execution, cap=4: 5223 est -> SUBS=2, compiles). Dominants: the
-    # whitened contact operator Y (nv*ntot, with JfT passed as a per-dof
-    # list so it never doubles), APGD iterates, M factorizations, FK state.
-    rows = nv * ntot + 6 * ntot + 3 * nv * nv + 15 * model.nbody
-    budget = 13_500_000
-    if rows * 8 * (LANES * 4) <= budget:
-        return 8
-    # SUBS=4 empirically pads its (4, 128) stack values to full (8, 128)
-    # tiles (same scoped peak as SUBS=8, half the useful lanes) — skip to 2
-    if rows * 2 * (LANES * 4) <= budget:
-        return 2
-    return 1
-
-
 def _pallas_substep(model, spec, solver_iters, power_iters, emit_aux=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -1131,15 +1096,9 @@ def _pallas_substep(model, spec, solver_iters, power_iters, emit_aux=False):
     ng = max(len(spec.grip_actuators), 1)
     kernel, ntot = _make_substep_kernel(model, spec, solver_iters, power_iters,
                                         emit_aux=emit_aux)
-    SUBS = _default_subs(model, ntot)
-    TILE = SUBS * LANES
 
     def spec_(*dims):
-        # 4D tail (1, SUBS, LANES): the block's sublane dim EQUALS the
-        # array's, which Pallas accepts for any SUBS (a 3D (SUBS, LANES)
-        # tail would need SUBS % 8 == 0)
-        return pl.BlockSpec(dims + (1, SUBS, LANES),
-                            lambda i: (0,) * len(dims) + (i, 0, 0),
+        return pl.BlockSpec(dims + (LANES,), lambda i: (0,) * len(dims) + (i,),
                             memory_space=pltpu.VMEM)
 
     out_rows = [nq, nv, ntot]
@@ -1150,60 +1109,33 @@ def _pallas_substep(model, spec, solver_iters, power_iters, emit_aux=False):
     ga = 12 if spec.arm.ctrl_type == "osc" else na        # goal rows
     gk = 12 if spec.arm.ctrl_type == "osc" else 2 * na    # gains rows
 
-    # grid chunking: at SUBS=8 the kernel's scoped-VMEM stack leaves no room
-    # for multi-tile grids (XLA parks each call's output tuple in VMEM —
-    # ~1.4 MB per 1024-wide tile — and double-buffers the blocks); capping
-    # the grid per pallas_call keeps every call inside the 16 MB budget.
-    # Wider-margin layouts (SUBS <= 2) take the whole batch in one call.
-    max_grid = 1 if SUBS >= 4 else 1 << 30
-
     @jax.jit
     def run(qpos, qvel, mass, inertia, gravity, armature, goal, gains, grip):
         B = qpos.shape[0]
-        Bp = ((B + TILE - 1) // TILE) * TILE
+        Bp = ((B + LANES - 1) // LANES) * LANES
         pad = Bp - B
-        G = Bp // TILE
 
         def prep(x):
             x = jnp.moveaxis(x, 0, -1)
             if pad:
                 x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
-            # batch-minor (…, Bp) -> (…, G, SUBS, LANES): grid step i covers
-            # batch slice [TILE*i, TILE*(i+1)) as one (SUBS, LANES) tile
-            return x.reshape(x.shape[:-1] + (G, SUBS, LANES))
+            return x
 
         args = tuple(prep(a) for a in (qpos, qvel, mass, inertia, gravity,
                                        armature, goal, gains, grip))
-
-        def call(chunk_args, g):
-            return pl.pallas_call(
-                kernel,
-                grid=(g,),
-                in_specs=[spec_(nq), spec_(nv), spec_(nb), spec_(nb, 3), spec_(3),
-                          spec_(nv), spec_(ga), spec_(gk), spec_(ng)],
-                out_specs=tuple(spec_(r) for r in out_rows),
-                out_shape=tuple(
-                    jax.ShapeDtypeStruct((r, g, SUBS, LANES), qpos.dtype)
-                    for r in out_rows
-                ),
-            )(*chunk_args)
-
-        if G <= max_grid:
-            outs = call(args, G)
-        else:
-            chunks = []
-            for c0 in range(0, G, max_grid):
-                g = min(max_grid, G - c0)
-                chunks.append(call(
-                    tuple(a[..., c0 : c0 + g, :, :] for a in args), g
-                ))
-            outs = tuple(
-                jnp.concatenate([ch[i] for ch in chunks], axis=-3)
-                for i in range(len(out_rows))
-            )
+        outs = pl.pallas_call(
+            kernel,
+            grid=(Bp // LANES,),
+            in_specs=[spec_(nq), spec_(nv), spec_(nb), spec_(nb, 3), spec_(3),
+                      spec_(nv), spec_(ga), spec_(gk), spec_(ng)],
+            out_specs=tuple(spec_(r) for r in out_rows),
+            out_shape=tuple(
+                jax.ShapeDtypeStruct((r, Bp), qpos.dtype) for r in out_rows
+            ),
+        )(*args)
 
         def unpack(x):
-            return jnp.moveaxis(x.reshape(x.shape[:-3] + (Bp,)), -1, 0)[:B]
+            return jnp.moveaxis(x, -1, 0)[:B]
 
         base = (unpack(outs[0]), unpack(outs[1]), unpack(outs[2]))
         if not emit_aux:

@@ -90,7 +90,11 @@ def model_pair_points(model, t1: int, t2: int) -> int:
     planning models) tightens the global MANIFOLD_CAP."""
     cap = model.pair_points_cap
     n = pair_points(t1, t2)
-    return min(n, cap) if cap else n
+    if cap is None:
+        return n
+    if cap < 1:
+        raise ValueError(f"pair_points_cap must be >= 1 (got {cap})")
+    return min(n, cap)
 
 
 def contact_row_layout(model):
