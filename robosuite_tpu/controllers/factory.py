@@ -78,6 +78,59 @@ def arm_controller_config(ctrl_type: str, dim: int = 7, **overrides):
     raise ValueError(f"unknown controller type {ctrl_type!r}; known: {sorted(ALL_PART_CONTROLLERS)}")
 
 
+def robot_config_name(robot: str) -> str:
+    """Standardized per-robot config-file stem (reference
+    composite_controller_factory.py:141-156 _get_robot_name): variant robot
+    classes share one default file (GR1ArmsOnly -> gr1, PandaDexLH/RH ->
+    panda_dex)."""
+    if "GR1FloatingBody" in robot:
+        return "gr1_floating_body"
+    if "GR1FixedLowerBody" in robot:
+        return "gr1_fixed_lower_body"
+    if "GR1" in robot:
+        return "gr1"
+    if "PandaDex" in robot:
+        return "panda_dex"
+    if "SpotWithArm" in robot:
+        return "spotwitharm"
+    return robot.lower()
+
+
+def resolve_controller_json(
+    controller: Union[None, str, dict] = None, robot: Optional[str] = None
+) -> Optional[dict]:
+    """Reference search order (composite_controller_factory.py:89-113):
+    explicit .json path > registered composite name (shipped default JSON
+    in config/default/composite/) > per-robot default
+    (config/robots/default_<name>.json) > None. Returns the raw config dict
+    so callers see the composite `type` (WHOLE_BODY_IK / HYBRID_MOBILE_BASE)
+    before the arm configs are flattened; part-controller names
+    ("OSC_POSE", ...) pass through as None (handled downstream)."""
+    import json
+    import os
+
+    cfg_root = os.path.join(os.path.dirname(__file__), "config")
+    if isinstance(controller, dict):
+        return controller
+    if isinstance(controller, str) and controller.endswith(".json"):
+        with open(controller) as f:
+            return json.load(f)
+    if isinstance(controller, str):
+        path = os.path.join(cfg_root, "default", "composite",
+                            controller.lower() + ".json")
+        if os.path.exists(path):
+            with open(path) as f:
+                return json.load(f)
+        return None  # part-controller type name — resolved downstream
+    if controller is None and robot is not None:
+        path = os.path.join(cfg_root, "robots",
+                            f"default_{robot_config_name(robot)}.json")
+        if os.path.exists(path):
+            with open(path) as f:
+                return json.load(f)
+    return None
+
+
 def load_composite_controller_config(
     controller: Union[None, str, dict] = None, robot: Optional[str] = None, arms=None
 ):
@@ -91,31 +144,13 @@ def load_composite_controller_config(
         (the reference's JSON schema)
       * a dict {"right": <config dataclass or part dict>}
     """
-    import json
-    import os
-
     if arms is None:
         arms = ["right", "left"] if robot == "Baxter" else ["right"]
     arms = list(arms)
 
-    cfg_root = os.path.join(os.path.dirname(__file__), "config")
-    if isinstance(controller, str) and controller.endswith(".json"):
-        # explicit JSON path (reference search order step 1,
-        # composite_controller_factory.py:73-103)
-        with open(controller) as f:
-            controller = json.load(f)
-    elif isinstance(controller, str) and controller.upper() in ("BASIC",):
-        # named composite -> shipped default JSON (search order step 2)
-        with open(os.path.join(cfg_root, "default", "composite",
-                               controller.lower() + ".json")) as f:
-            controller = json.load(f)
-    elif controller is None and robot is not None:
-        # per-robot default JSON when shipped (search order step 3);
-        # otherwise the dataclass defaults below (same values)
-        path = os.path.join(cfg_root, "robots", f"default_{robot.lower()}.json")
-        if os.path.exists(path):
-            with open(path) as f:
-                controller = json.load(f)
+    resolved = resolve_controller_json(controller, robot=robot)
+    if resolved is not None:
+        controller = resolved
 
     if controller is None:
         return {arm: arm_controller_config("OSC_POSE") for arm in arms}

@@ -120,6 +120,34 @@ class FixedBaseRobot:
         # per-arm JOINT_POSITION parts track them (the WBIK integration
         # pattern below)
         self._custom_composite = None
+        # resolve name/path/per-robot-default JSON FIRST so the composite
+        # `type` (WHOLE_BODY_IK, HYBRID_MOBILE_BASE, ...) in shipped robot
+        # defaults (controllers/config/robots/default_*.json) is visible to
+        # the checks below (reference search order step 3,
+        # composite_controller_factory.py:89-100)
+        if controller_config is None or isinstance(controller_config, str):
+            from robosuite_tpu.controllers.factory import resolve_controller_json
+
+            resolved = resolve_controller_json(
+                controller_config, robot=type(robot_model).__name__
+            )
+            if resolved is not None:
+                controller_config = resolved
+        # WHOLE_BODY_MINK_IK: the reference's mink(QP)-based whole-body IK
+        # (mink_controller.py). The TPU analog is the same posture-weighted
+        # damped-least-squares solve as WHOLE_BODY_IK — map its posture
+        # weights onto the nullspace weights and run the WBIK path.
+        self._composite_type = (
+            controller_config.get("type")
+            if isinstance(controller_config, dict) else None
+        )
+        if isinstance(controller_config, dict) and controller_config.get("type") == "WHOLE_BODY_MINK_IK":
+            controller_config = dict(controller_config)
+            controller_config["type"] = "WHOLE_BODY_IK"
+            sc = dict(controller_config.get("composite_controller_specific_configs", {}))
+            if "ik_posture_weights" in sc and "nullspace_joint_weights" not in sc:
+                sc["nullspace_joint_weights"] = sc["ik_posture_weights"]
+            controller_config["composite_controller_specific_configs"] = sc
         if isinstance(controller_config, dict) and controller_config.get("type"):
             from robosuite_tpu.controllers.composite.composite_controller import (
                 THIRD_PARTY_COMPOSITE_CONTROLLERS,
@@ -611,8 +639,11 @@ class MobileRobot(FixedBaseRobot):
         if len(self.part_qpos_idx["base"]):
             self.part_cfg["base"] = mb_mod.MobileBaseJointVelConfig(dim=len(self.part_qpos_idx["base"]))
 
-        # HYBRID_MOBILE_BASE appends a trailing base-mode action dim
-        self.hybrid = getattr(rm, "composite_type", "BASIC") == "HYBRID_MOBILE_BASE"
+        # HYBRID_MOBILE_BASE appends a trailing base-mode action dim; the
+        # composite type comes from the resolved controller config when one
+        # was given, else the robot model's default
+        ctype = self._composite_type or getattr(rm, "composite_type", "BASIC")
+        self.hybrid = ctype == "HYBRID_MOBILE_BASE"
 
     # -- views ------------------------------------------------------------------
     def _part_view(self, kin, M, bias, qpos, qvel, part: str):

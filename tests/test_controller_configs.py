@@ -1,0 +1,152 @@
+"""Shipped controller-config JSON library (reference
+controllers/config/: default/composite/, default/parts/, robots/).
+
+Parity contract: the reference's search-order step 3
+(composite_controller_factory.py:89-100) resolves a per-robot default file
+for every robot it ships; this suite asserts the same holds for EVERY
+registered robot here, and that the resolved configs build working
+controller stacks with the reference gain values.
+"""
+
+import dataclasses
+import json
+import os
+
+import pytest
+
+from robosuite_tpu.controllers.factory import (
+    arm_controller_config,
+    load_composite_controller_config,
+    resolve_controller_json,
+    robot_config_name,
+)
+from robosuite_tpu.models.robots import REGISTERED_ROBOTS
+
+CFG_ROOT = os.path.join(
+    os.path.dirname(__file__), "..", "robosuite_tpu", "controllers", "config"
+)
+
+
+def test_every_registered_robot_has_default_config():
+    # search-order step 3 must hit a robot-specific file for every robot —
+    # no silent fallback to generic gains (reference ships config/robots/)
+    for robot in sorted(REGISTERED_ROBOTS):
+        cfg = resolve_controller_json(None, robot=robot)
+        assert cfg is not None, f"no default config resolves for {robot}"
+        assert "type" in cfg and "body_parts" in cfg, robot
+
+
+def test_variant_robots_share_reference_config_files():
+    # reference _get_robot_name (composite_controller_factory.py:141-156)
+    assert robot_config_name("GR1ArmsOnly") == "gr1"
+    assert robot_config_name("GR1FixedLowerBody") == "gr1_fixed_lower_body"
+    assert robot_config_name("GR1FloatingBody") == "gr1_floating_body"
+    assert robot_config_name("PandaDexLH") == "panda_dex"
+    assert robot_config_name("PandaDexRH") == "panda_dex"
+    assert robot_config_name("SpotWithArmFloating") == "spotwitharm"
+
+
+def test_composite_defaults_shipped():
+    d = os.path.join(CFG_ROOT, "default", "composite")
+    names = sorted(os.listdir(d))
+    assert names == [
+        "basic.json",
+        "hybrid_mobile_base.json",
+        "whole_body_ik.json",
+        "whole_body_mink_ik.json",
+    ]
+    for n in names:
+        with open(os.path.join(d, n)) as f:
+            cfg = json.load(f)
+        assert cfg["type"] in (
+            "BASIC", "HYBRID_MOBILE_BASE", "WHOLE_BODY_IK", "WHOLE_BODY_MINK_IK"
+        )
+        assert "arms" in cfg["body_parts"]
+
+
+def test_part_defaults_shipped_and_buildable():
+    d = os.path.join(CFG_ROOT, "default", "parts")
+    names = sorted(os.listdir(d))
+    assert names == [
+        "ik_pose.json", "joint_position.json", "joint_torque.json",
+        "joint_velocity.json", "osc_pose.json", "osc_position.json",
+    ]
+    for n in names:
+        with open(os.path.join(d, n)) as f:
+            cfg = json.load(f)
+        t = cfg.pop("type")
+        probe = arm_controller_config(t)
+        fields = {f.name for f in dataclasses.fields(probe)}
+        kw = {
+            k: tuple(v) if isinstance(v, list) else v
+            for k, v in cfg.items() if k in fields and v is not None
+        }
+        built = arm_controller_config(t, **kw)
+        assert built.control_dim >= 1
+
+
+def test_basic_defaults_match_reference_gains():
+    # reference default/composite/basic.json arm entry
+    cfg = resolve_controller_json("BASIC")
+    arm = cfg["body_parts"]["arms"]["right"]
+    assert arm["type"] == "OSC_POSE"
+    assert arm["kp"] == 150 and arm["damping_ratio"] == 1
+    assert arm["output_max"] == [0.05, 0.05, 0.05, 0.5, 0.5, 0.5]
+    assert arm["kp_limits"] == [0, 300]
+    assert arm["input_type"] == "delta" and arm["input_ref_frame"] == "base"
+
+
+def test_gr1_default_is_whole_body_ik_with_nullspace_weights():
+    cfg = resolve_controller_json(None, robot="GR1")
+    assert cfg["type"] == "WHOLE_BODY_IK"
+    sc = cfg["composite_controller_specific_configs"]
+    # reference default_gr1.json nullspace posture weights
+    assert sc["nullspace_joint_weights"]["robot0_torso_waist_roll"] == 500.0
+    assert sc["ik_pseudo_inverse_damping"] == 0.05
+    assert sc["ik_max_dq"] == 4.0
+    arm = cfg["body_parts"]["arms"]["right"]
+    assert arm["type"] == "JOINT_POSITION" and arm["kp"] == 1000
+    assert arm["gripper"] == {"type": "GRIP", "use_action_scaling": False}
+
+
+def test_named_composite_resolves_hybrid_and_wbik():
+    for name, typ in (
+        ("HYBRID_MOBILE_BASE", "HYBRID_MOBILE_BASE"),
+        ("WHOLE_BODY_IK", "WHOLE_BODY_IK"),
+        ("WHOLE_BODY_MINK_IK", "WHOLE_BODY_MINK_IK"),
+    ):
+        cfg = resolve_controller_json(name)
+        assert cfg is not None and cfg["type"] == typ, name
+    # part-controller names are NOT composite files: pass through as None
+    assert resolve_controller_json("OSC_POSE") is None
+
+
+def test_load_composite_flattens_robot_default_arms():
+    out = load_composite_controller_config(None, robot="UR5e")
+    assert set(out) == {"right"}
+    assert out["right"].kp == 150.0
+    out = load_composite_controller_config(None, robot="Baxter",
+                                           arms=["right", "left"])
+    assert set(out) == {"right", "left"}
+
+
+@pytest.mark.parametrize("robot", ["UR5e", "Kinova3"])
+def test_env_uses_robot_default_config(robot):
+    import robosuite_tpu
+
+    env = robosuite_tpu.make("Lift", robots=robot)
+    r = env.robots[0]
+    assert r.arm_cfg["right"].kp == 150.0  # reference OSC default
+    assert env.action_dim == r.action_dim
+
+
+def test_mink_ik_maps_to_wbik_runtime():
+    # WHOLE_BODY_MINK_IK (reference mink_controller.py QP IK) runs the TPU
+    # posture-weighted DLS WBIK path with its posture weights as nullspace
+    # weights
+    import robosuite_tpu
+
+    env = robosuite_tpu.make("Lift", robots="GR1FixedLowerBody")
+    r = env.robots[0]
+    assert r._wbik_spec is not None
+    assert r._wbik_spec["nullspace_joint_weights"]["robot0_torso_waist_roll"] == 200.0
