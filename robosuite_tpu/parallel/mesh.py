@@ -49,7 +49,8 @@ def shard_batch(mesh: Mesh, tree, axis: str = SCENARIO_AXIS):
     return jax.device_put(tree, sharding)
 
 
-def sharded_env_step(env, mesh: Mesh, axis: str = SCENARIO_AXIS, batcher=None):
+def sharded_env_step(env, mesh: Mesh, axis: str = SCENARIO_AXIS, batcher=None,
+                     model=None, n_substeps=None):
     """Batched env step sharded over the scenario axis.
 
     Returns step(states, actions) -> (states', mean_reward) where the mean
@@ -58,13 +59,19 @@ def sharded_env_step(env, mesh: Mesh, axis: str = SCENARIO_AXIS, batcher=None):
     batcher: jax.vmap (default, TPU) or a lax.map-based fallback — XLA:CPU
     compile of the vmapped physics graph is pathologically slow, so CPU
     dryruns pass batcher="map".
+    model / n_substeps: optional coarse-timestep overrides (the same knobs
+    env._rollout_impl exposes to MPC planners) — small CPU-mesh tests step
+    a 2-substep planning model instead of the 25-substep execution model.
     """
     spec = P(axis)
 
+    def _one(es, a):
+        return env._rollout_impl(es, a, model=model, n_substeps=n_substeps)
+
     def _batched(states, actions):
         if batcher == "map":
-            return jax.lax.map(lambda sa: env._rollout_impl(*sa), (states, actions))
-        return jax.vmap(env._rollout_impl)(states, actions)
+            return jax.lax.map(lambda sa: _one(*sa), (states, actions))
+        return jax.vmap(_one)(states, actions)
 
     @partial(
         shard_map,

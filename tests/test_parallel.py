@@ -31,6 +31,38 @@ def small_env():
     )
 
 
+def test_sharded_env_step_matches_vmap_coarse(small_env):
+    """FAST-TIER sharded-vs-unsharded equivalence (VERDICT r4 weak #5): the
+    same check as the slow full-fidelity test below, on a 2-substep coarse
+    planning model so the XLA:CPU compile stays small."""
+    env = small_env
+    B = 8
+    mesh = pmesh.make_mesh()
+    plan_model = env.model.replace(timestep=0.025)
+    rngs = jax.random.split(jax.random.PRNGKey(4), B)
+    states, _ = env.reset_batch(rngs)
+    actions = 0.1 * jax.random.normal(jax.random.PRNGKey(5), (B, env.action_dim))
+
+    ref_states, ref_rewards = jax.jit(jax.vmap(
+        lambda s, a: env._rollout_impl(s, a, model=plan_model, n_substeps=2)
+    ))(states, actions)
+
+    step = pmesh.sharded_env_step(env, mesh, model=plan_model, n_substeps=2)
+    out_states, mean_reward = step(
+        pmesh.shard_batch(mesh, states), pmesh.shard_batch(mesh, actions)
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_states.physics.qpos), np.asarray(ref_states.physics.qpos), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_states.physics.qvel), np.asarray(ref_states.physics.qvel), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        float(mean_reward), float(jnp.mean(ref_rewards)), rtol=1e-5
+    )
+    assert len(out_states.physics.qpos.sharding.device_set) == 8
+
+
 @pytest.mark.slow
 def test_sharded_env_step_matches_vmap(small_env):
     env = small_env

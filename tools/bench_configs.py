@@ -95,8 +95,20 @@ def main():
         jax.devices()
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+
+    # optional config-name filters: rerun a subset (e.g. after a transient
+    # remote-compile failure) and merge into the existing BENCH_CONFIGS.json
+    only = set(sys.argv[1:])
+    prior = {}
+    if only and os.path.exists("BENCH_CONFIGS.json"):
+        with open("BENCH_CONFIGS.json") as f:
+            prior = {row["config"]: row for row in json.load(f)}
+
     rows = []
     for spec in CONFIGS:
+        if only and spec[0] not in only:
+            rows.append(prior.get(spec[0], dict(config=spec[0], error="skipped")))
+            continue
         try:
             row = bench_one(*spec)
         except Exception as e:  # record the failure, keep the sweep going
