@@ -34,6 +34,14 @@ from jax.custom_batching import custom_vmap
 
 LANES = 128
 
+# VMEM feasibility gate for the fused vel-solver kernel: its scoped live set
+# is dominated by the whitened operator Y (nv x ntot rows) plus the incoming
+# JfT block, both double-buffered across grid steps — measured 25.12M scoped
+# at nv*ntot = 9504 (Sawyer PickPlaceCan, compacted 96 slots), vs the 16M
+# limit. Worlds past this row budget route to the XLA APGD path instead of
+# failing to compile; it's slower (HBM-streamed iterations) but correct.
+PALLAS_VEL_ROWS_MAX = 7000
+
 
 def _vel_update_xla(M, JfT, aref, qfrc_smooth, qvel, damping, reg3, mu, active,
                     K, ne, iters, power_iters, dt):
@@ -363,7 +371,7 @@ def make_vel_solver(nv, ntot, K, ne, iters, power_iters, dt_step):
             return x if b else jnp.broadcast_to(x[None], (axis_size,) + x.shape)
 
         args = [bc(a, b) for a, b in zip(batched_args, in_batched)]
-        if jax.default_backend() == "tpu":
+        if jax.default_backend() == "tpu" and nv * ntot <= PALLAS_VEL_ROWS_MAX:
             if not _flat_cache:
                 from robosuite_tpu.ops.vmap_flat import flat_batched
 

@@ -182,7 +182,14 @@ def render_camera(model, kin, camera_name, height=84, width=84, geom_groups=None
     TPU-native analog of the reference's Texture/Lighting/Camera modders
     (utils/mjmod.py:62,518,782), which mutate a global MjModel and therefore
     cannot differ across parallel instances. Recognized keys (all optional):
-      geom_rgb   (ngeom, 3) replacement colors
+      geom_rgb   (ngeom, 3) replacement colors (pattern color 1)
+      tex_mode   (ngeom,) 0 rgb | 1 checker | 2 gradient | 3 noise
+      tex_rgb2   (ngeom, 3) pattern color 2
+      tex_scale  (ngeom,) pattern cell size (m)
+      tex_fraction (ngeom,) noise-mode rgb2 fraction (rand_noise)
+      tex_grad_vert (ngeom,) bool: gradient along local z (else local x)
+      mat_rss    (ngeom, 3) material (reflectance, shininess, specular)
+      sky_rgb1/sky_rgb2 (3,) skybox gradient colors
       light_dir  (3,) directional light (world frame)
       ambient    () ambient intensity (default 0.35)
       diffuse    () diffuse intensity (default 0.65)
@@ -268,15 +275,27 @@ def render_camera(model, kin, camera_name, height=84, width=84, geom_groups=None
     # procedural textures (reference TextureModder checker/gradient/noise
     # bitmaps, mjmod.py:213-330): evaluated analytically at the hit point in
     # the geom's local frame instead of uv-mapped bitmaps
-    tex_mode = visual.get("tex_mode", None)          # (ngeom,) 0 flat|1 checker|2 gradient|3 noise
+    tex_mode = visual.get("tex_mode", None)          # (ngeom,) 0 rgb|1 checker|2 gradient|3 noise
     if tex_mode is not None:
         tex_mode_g = jnp.asarray(tex_mode)[gid_arr]
         tex_rgb2_g = jnp.asarray(visual.get("tex_rgb2", all_rgb))[gid_arr]
         tex_scale_g = jnp.asarray(
             visual.get("tex_scale", jnp.full((model.ngeom,), 0.08))
         )[gid_arr]
+        tex_frac_g = jnp.asarray(
+            visual.get("tex_fraction", jnp.full((model.ngeom,), 0.5))
+        )[gid_arr]
+        tex_vert_g = jnp.asarray(
+            visual.get("tex_grad_vert", jnp.ones((model.ngeom,), dtype=bool))
+        )[gid_arr]
         xpos_g = kin.geom_xpos[gid_arr]
         xmat_g = kin.geom_xmat[gid_arr]
+    # material (reflectance, shininess, specular) per geom — reference
+    # TextureModder.set_material (mjmod.py:955-969); drives a Blinn-Phong
+    # specular highlight on top of the Lambertian term
+    mat_rss = visual.get("mat_rss", None)
+    if mat_rss is not None:
+        mat_rss_g = jnp.asarray(mat_rss)[gid_arr]
 
     def pixel(d):
         t, n, gi = _trace_one(model, kin.geom_xpos, kin.geom_xmat, cam_pos, d, geom_ids)
@@ -308,18 +327,42 @@ def render_camera(model, kin, camera_name, height=84, width=84, geom_groups=None
         gsafe = jnp.maximum(gi, 0)
         base = jnp.where(gi >= 0, colors[gsafe], jnp.ones(3) * 0.7)
         if tex_mode is not None:
+            # analytic pattern weight at the hit point in the geom's local
+            # frame (reference set_checker/set_gradient/set_noise bitmaps,
+            # mjmod.py:1162-1247, evaluated per-ray instead of per-texel)
             p_hit = cam_pos + t * d
             pl = xmat_g[gsafe].T @ (p_hit - xpos_g[gsafe]) / jnp.maximum(tex_scale_g[gsafe], 1e-4)
             cell = jnp.floor(pl)
             checker = jnp.mod(jnp.sum(cell), 2.0)
-            grad_t = jnp.clip(0.5 + 0.5 * pl[2], 0.0, 1.0)
+            # gradient axis: local z when tex_grad_vert, else local x
+            g_ax = jnp.where(tex_vert_g[gsafe], pl[2], pl[0])
+            grad_t = jnp.clip(0.5 + 0.5 * g_ax, 0.0, 1.0)
+            # noise: rgb2 with probability tex_fraction (rand_noise)
             h = jnp.sin(jnp.dot(cell, jnp.asarray([12.9898, 78.233, 37.719]))) * 43758.5453
-            noise = h - jnp.floor(h)
+            noise_u = h - jnp.floor(h)
+            noise = (noise_u < tex_frac_g[gsafe]).astype(base.dtype)
             mode = tex_mode_g[gsafe]
             w = jnp.where(mode == 1, checker, jnp.where(mode == 2, grad_t, jnp.where(mode == 3, noise, 0.0)))
             base = base * (1.0 - w) + tex_rgb2_g[gsafe] * w
         col = base * (ambient + diffuse * lam_rgb)
+        if mat_rss is not None:
+            # Blinn-Phong specular from the randomized material: intensity
+            # follows specular, lobe width follows shininess, and
+            # reflectance brightens the diffuse response (the raycast
+            # analog of MuJoCo's (reflectance, shininess, specular) triple)
+            refl, shine, spec = (mat_rss_g[gsafe, 0], mat_rss_g[gsafe, 1],
+                                 mat_rss_g[gsafe, 2])
+            hvec = -(d + light_dir)
+            hvec = hvec / jnp.maximum(jnp.linalg.norm(hvec), 1e-9)
+            ndh = jnp.clip(jnp.dot(n, hvec), 0.0, 1.0)
+            col = col * (1.0 + 0.5 * refl) + spec * ndh ** (4.0 + 60.0 * shine)
         sky = jnp.asarray([0.7, 0.8, 0.9])
+        if "sky_rgb1" in visual:
+            # skybox gradient by view elevation (reference randomize_skybox
+            # re-synthesizes the skybox bitmap, mjmod.py:925-927)
+            sky_t = jnp.clip(0.5 + 0.5 * jnp.dot(d, jnp.asarray([0.0, 0.0, 1.0])), 0.0, 1.0)
+            sky = visual["sky_rgb1"] * (1.0 - sky_t) + visual.get(
+                "sky_rgb2", visual["sky_rgb1"]) * sky_t
         rgb = jnp.where(hit, jnp.clip(col, 0.0, 1.0), sky)
         # depth along camera forward axis
         depth = jnp.where(hit, t * jnp.dot(d, cam_rot[:, 2]), 0.0)

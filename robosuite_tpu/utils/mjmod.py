@@ -26,15 +26,27 @@ import numpy as np
 @dataclasses.dataclass(frozen=True)
 class TextureRandomizationConfig:
     """Per-geom texture randomization (reference TextureModder
-    mjmod.py:213-330): base-color jitter plus per-geom procedural pattern
-    (flat / checker / gradient / noise) evaluated analytically by the
-    raycast renderer at the hit point (bitmap-free equivalents of
-    rand_checker / rand_gradient / rand_noise)."""
+    mjmod.py:782-1030): per-geom procedural pattern — rgb / checker /
+    gradient / noise, the reference texture_variations list — with two
+    random colors per geom, evaluated analytically by the raycast renderer
+    at the hit point (bitmap-free equivalents of rand_rgb / rand_checker /
+    rand_gradient / rand_noise), plus material (reflectance, shininess,
+    specular) and skybox randomization."""
 
-    rgb_jitter: float = 0.3          # uniform +- jitter per channel
-    patterns: bool = True            # sample checker/gradient/noise modes
+    texture_variations: Tuple[str, ...] = ("rgb", "checker", "noise", "gradient")
+    randomize_local: bool = False    # interpolate toward the defaults
+    local_rgb_interpolation: float = 0.1
+    randomize_material: bool = False  # (reflectance, shininess, specular)
+    local_material_interpolation: float = 0.2
     scale_range: Tuple[float, float] = (0.04, 0.15)  # pattern cell size (m)
-    randomize_skybox: bool = True    # kept for config parity (sky handled in renderer)
+    randomize_skybox: bool = True    # gradient sky colors (reference
+                                     # randomizes the skybox bitmap)
+
+    # legacy knob (pre-r5 sampler): uniform +- jitter around the base color
+    # instead of the reference's fully random rgb1. None = reference mode.
+    rgb_jitter: Optional[float] = None
+
+_VARIATION_IDS = {"rgb": 0, "checker": 1, "gradient": 2, "noise": 3}
 
 
 @dataclasses.dataclass(frozen=True)
@@ -56,24 +68,80 @@ class CameraRandomizationConfig:
 
 
 class TextureModder:
+    """Reference TextureModder (mjmod.py:782-1030) as a pure sampler.
+
+    Each sample() mirrors one reference randomize() sweep:
+      * every geom draws a variation from texture_variations
+        (rand_rgb / rand_checker / rand_gradient / rand_noise) with two
+        fully random colors (get_rand_rgb),
+      * gradient orientation is a coin flip (rand_gradient vertical=...),
+      * noise draws its rgb2 fraction in [0.1, 0.9] (rand_noise),
+      * randomize_local interpolates toward the model's default colors
+        (set_texture/set_rgb perturb=True),
+      * randomize_material draws (reflectance, shininess, specular)
+        (set_material),
+      * randomize_skybox draws two sky-gradient colors (the reference
+        re-synthesizes the skybox bitmap).
+    """
+
     def __init__(self, model, config: Optional[TextureRandomizationConfig] = None):
         self.model = model
         self.config = config or TextureRandomizationConfig()
+        bad = set(self.config.texture_variations) - set(_VARIATION_IDS)
+        if bad:
+            raise ValueError(f"unknown texture variations {sorted(bad)}; "
+                             f"known: {sorted(_VARIATION_IDS)}")
 
     def sample(self, rng):
+        c = self.config
         base = jnp.asarray(self.model.geom_rgba)[:, :3]
-        k1, k2, k3, k4 = jax.random.split(rng, 4)
-        noise = jax.random.uniform(
-            k1, base.shape, minval=-self.config.rgb_jitter, maxval=self.config.rgb_jitter
-        )
-        out = {"geom_rgb": jnp.clip(base + noise, 0.0, 1.0)}
-        if self.config.patterns:
-            n = base.shape[0]
-            out["tex_mode"] = jax.random.randint(k2, (n,), 0, 4)  # flat/checker/gradient/noise
-            out["tex_rgb2"] = jax.random.uniform(k3, (n, 3))
-            lo, hi = self.config.scale_range
-            out["tex_scale"] = jax.random.uniform(k4, (n,), minval=lo, maxval=hi)
+        n = base.shape[0]
+        (k_rgb1, k_rgb2, k_mode, k_scale, k_frac, k_vert, k_mat,
+         k_sky1, k_sky2) = jax.random.split(rng, 9)
+
+        if c.rgb_jitter is not None:  # legacy jitter-around-base mode
+            noise = jax.random.uniform(k_rgb1, base.shape,
+                                       minval=-c.rgb_jitter, maxval=c.rgb_jitter)
+            rgb1 = jnp.clip(base + noise, 0.0, 1.0)
+        else:
+            rgb1 = jax.random.uniform(k_rgb1, (n, 3))
+        rgb2 = jax.random.uniform(k_rgb2, (n, 3))
+        if c.randomize_local:
+            a = c.local_rgb_interpolation
+            rgb1 = (1.0 - a) * base + a * rgb1
+            rgb2 = (1.0 - a) * base + a * rgb2
+
+        # per-geom variation drawn uniformly from the configured list
+        var_ids = jnp.asarray([_VARIATION_IDS[v] for v in c.texture_variations])
+        mode = var_ids[jax.random.randint(k_mode, (n,), 0, len(var_ids))]
+
+        lo, hi = c.scale_range
+        out = {
+            "geom_rgb": rgb1,
+            "tex_mode": mode,
+            "tex_rgb2": rgb2,
+            "tex_scale": jax.random.uniform(k_scale, (n,), minval=lo, maxval=hi),
+            # rand_noise: fraction = 0.1 + U * 0.8
+            "tex_fraction": 0.1 + 0.8 * jax.random.uniform(k_frac, (n,)),
+            # rand_gradient: vertical = U > 0.5
+            "tex_grad_vert": jax.random.bernoulli(k_vert, 0.5, (n,)),
+        }
+        if c.randomize_material:
+            mat = jax.random.uniform(k_mat, (n, 3))  # reflect/shine/spec
+            if c.randomize_local:
+                # interpolate toward neutral defaults (set_material perturb)
+                a = c.local_material_interpolation
+                mat = (1.0 - a) * jnp.asarray([0.0, 0.5, 0.5]) + a * mat
+            out["mat_rss"] = mat
+        if c.randomize_skybox:
+            out["sky_rgb1"] = jax.random.uniform(k_sky1, (3,))
+            out["sky_rgb2"] = jax.random.uniform(k_sky2, (3,))
         return out
+
+    def whiten_materials(self):
+        """Reference whiten_materials: overrides that set every geom color
+        to white so patterns take full effect."""
+        return {"geom_rgb": jnp.ones((int(self.model.ngeom), 3))}
 
 
 class LightingModder:

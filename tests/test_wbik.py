@@ -64,6 +64,7 @@ def test_wbik_torso_clamp():
     assert np.abs(dq[:2]).max() <= 0.01 + 1e-6, dq
 
 
+@pytest.mark.slow  # TwoArmLift world compile is minutes on XLA:CPU
 @pytest.mark.parametrize("robot", ["Baxter", "GR1FixedLowerBody"])
 def test_wbik_env_moves_both_arms(robot):
     """End-to-end: WHOLE_BODY_IK on a bimanual robot tracks per-arm delta
@@ -95,6 +96,7 @@ def test_wbik_env_moves_both_arms(robot):
     assert p1_l[2] > p0_l[2] + 0.01, (p0_l, p1_l)
 
 
+@pytest.mark.slow  # TwoArmLift world compile is minutes on XLA:CPU
 def test_single_robot_two_arm_configuration():
     """One bimanual robot drives TwoArm envs (env_configuration
     auto-'single-robot', reference two_arm_env.py:29-55)."""
