@@ -2,9 +2,9 @@
 
 Re-derivation of reference environments/manipulation/tool_hang.py (sparse
 reward only, :217; success = frame assembled + tool on frame, :597-660).
-Objects are primitive re-derivations of the reference composites
-(StandWithMount, HookFrame, RatchetingWrench) with the same functional
-geometry: an upright stand with a square mount cavity, an L-shaped hook
+Objects come from the shared composite library
+(models/objects/composite_objects.py: StandWithMount, HookFrame,
+RatchetingWrench) with the reference's functional geometry: an upright stand with a square mount cavity, an L-shaped hook
 frame that inserts into it, and a wrench with a ring that hangs on the hook.
 """
 
@@ -17,87 +17,15 @@ import numpy as np
 from robosuite_tpu.envs.base import RobotEnv, register_env
 from robosuite_tpu.models import spec as S
 from robosuite_tpu.models.arenas import TableArena
-from robosuite_tpu.models.objects import CompositeBoxObject, MujocoObject
+from robosuite_tpu.models.objects import MujocoObject
+from robosuite_tpu.models.objects.composite_objects import (
+    HookFrame,
+    RatchetingWrench,
+    StandWithMount,
+)
 from robosuite_tpu.models.tasks import ManipulationTask
 from robosuite_tpu.utils import transforms as T
 from robosuite_tpu.utils.placement import PlacementSpec, sample_placements
-
-
-class StandWithMount(CompositeBoxObject):
-    """reference objects/composite/stand_with_mount.py: base plate + 4 wall
-    mount forming a square cavity at the top of a post."""
-
-    def __init__(self, name):
-        base = (0.07, 0.07, 0.01)
-        post = (0.015, 0.015, 0.095)
-        wall = (0.0025, 0.025, 0.06)
-        sizes = [base, post,
-                 (wall[1], wall[0], wall[2]), (wall[1], wall[0], wall[2]),
-                 (wall[0], wall[1], wall[2]), (wall[0], wall[1], wall[2])]
-        z_wall = base[2] * 2 + post[2] * 2 + wall[2] - 0.02
-        locs = [
-            (0, 0, 0),
-            (0, 0, base[2] + post[2]),
-            (0, 0.0225, z_wall), (0, -0.0225, z_wall),
-            (0.0225, 0, z_wall), (-0.0225, 0, z_wall),
-        ]
-        names = ["base", "post", "w0", "w1", "w2", "w3"]
-        super().__init__(name, sizes, locs, geom_names=names, density=2000.0)
-
-    @property
-    def mount_cavity_top(self):
-        return np.array([0, 0, 0.21])
-
-
-class HookFrame(CompositeBoxObject):
-    """reference objects/composite/hook_frame.py: vertical stem + horizontal
-    arm + hook tip."""
-
-    def __init__(self, name):
-        stem = (0.0125, 0.0125, 0.12)
-        arm = (0.05, 0.0125, 0.0125)
-        tip = (0.0125, 0.0125, 0.02)
-        sizes = [stem, arm, tip]
-        locs = [(0, 0, 0), (0.05 - 0.0125, 0, 0.12 + 0.0125), (0.05 * 2 - 0.025, 0, 0.12 - 0.02)]
-        super().__init__(name, sizes, locs, geom_names=["stem", "arm", "tip"], density=1500.0)
-        # hang point: under the tip
-        self._hang_local = np.array([0.075, 0.0, 0.10])
-
-    def _build(self):
-        b = super()._build()
-        b.add_site(S.SiteSpec(f"{self.naming_prefix}hang_site", pos=self._hang_local, size=(0.005,), rgba=(0, 1, 0, 0)))
-        b.add_site(S.SiteSpec(f"{self.naming_prefix}intersection_site", pos=(0, 0, -0.12), size=(0.005,), rgba=(0, 1, 0, 0)))
-        return b
-
-    @property
-    def important_sites(self):
-        return {"hang": f"{self.naming_prefix}hang_site", "intersection": f"{self.naming_prefix}intersection_site"}
-
-
-class RatchetingWrench(CompositeBoxObject):
-    """reference objects/composite/ratcheting_wrench.py: bar with two ring
-    ends (rings approximated as open square frames)."""
-
-    def __init__(self, name):
-        bar = (0.055, 0.01, 0.006)
-        ring_w = (0.002, 0.016, 0.006)
-        sizes = [bar,
-                 (ring_w[1], ring_w[0], ring_w[2]), (ring_w[1], ring_w[0], ring_w[2]),
-                 (ring_w[0], ring_w[1], ring_w[2]), (ring_w[0], ring_w[1], ring_w[2])]
-        x0 = -0.055 - 0.014
-        locs = [(0, 0, 0),
-                (x0, 0.014, 0), (x0, -0.014, 0),
-                (x0 + 0.014, 0, 0), (x0 - 0.014, 0, 0)]
-        super().__init__(name, sizes, locs, geom_names=["bar", "r0", "r1", "r2", "r3"], density=3000.0)
-
-    def _build(self):
-        b = super()._build()
-        b.add_site(S.SiteSpec(f"{self.naming_prefix}ring_site", pos=(-0.069, 0, 0), size=(0.005,), rgba=(0, 0, 1, 0)))
-        return b
-
-    @property
-    def important_sites(self):
-        return {"ring": f"{self.naming_prefix}ring_site"}
 
 
 @register_env

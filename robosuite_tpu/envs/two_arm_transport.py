@@ -16,38 +16,19 @@ import numpy as np
 from robosuite_tpu.envs.base import RobotEnv, register_env
 from robosuite_tpu.models import spec as S
 from robosuite_tpu.models.arenas import MultiTableArena
-from robosuite_tpu.models.objects import BoxObject, CompositeBoxObject
-from robosuite_tpu.models.objects.composite_objects import HammerObject
+from robosuite_tpu.models.objects import BoxObject
+from robosuite_tpu.models.objects.composite_objects import (
+    BinObject,
+    HammerObject,
+    LidObject,
+)
+
+# shared-library aliases (the env predates the promoted classes)
+OpenBin = BinObject
+BinLid = LidObject
 from robosuite_tpu.models.tasks import ManipulationTask
 from robosuite_tpu.utils import transforms as T
 from robosuite_tpu.envs.two_arm import _normalize_two_arm, _place_two_robots, _two_arm_pairs, _two_eef_sites
-
-
-class OpenBin(CompositeBoxObject):
-    """Open-top bin: base plate + 4 walls."""
-
-    def __init__(self, name, half=(0.09, 0.09, 0.05), thickness=0.005):
-        hx, hy, hz = half
-        t = thickness
-        sizes = [(hx, hy, t), (hx, t, hz), (hx, t, hz), (t, hy, hz), (t, hy, hz)]
-        locs = [(0, 0, -hz + t), (0, -hy + t, 0), (0, hy - t, 0), (-hx + t, 0, 0), (hx - t, 0, 0)]
-        super().__init__(name, sizes, locs, geom_names=["base", "w0", "w1", "w2", "w3"], density=500.0,
-                         joints=None)
-        self.half = np.array(half)
-
-
-class BinLid(CompositeBoxObject):
-    """Flat lid with a center handle bar."""
-
-    def __init__(self, name, half=(0.09, 0.09, 0.005)):
-        hx, hy, hz = half
-        sizes = [(hx, hy, hz), (0.04, 0.01, 0.01)]
-        locs = [(0, 0, 0), (0, 0, hz + 0.02)]
-        super().__init__(name, sizes, locs, geom_names=["plate", "handle"], density=300.0)
-
-    @property
-    def handle_geoms(self):
-        return [f"{self.naming_prefix}handle"]
 
 
 @register_env

@@ -301,12 +301,13 @@ class CompositeBoxObject(MujocoObject):
 
     @property
     def bottom_offset(self):
-        lo = min(p[2] - s[2] for p, s in zip(self.geom_locations, self.geom_sizes))
+        # s[-1] is the half-height for boxes (3-vec) and cylinders (r, h)
+        lo = min(p[2] - s[-1] for p, s in zip(self.geom_locations, self.geom_sizes))
         return np.array([0, 0, lo])
 
     @property
     def top_offset(self):
-        hi = max(p[2] + s[2] for p, s in zip(self.geom_locations, self.geom_sizes))
+        hi = max(p[2] + s[-1] for p, s in zip(self.geom_locations, self.geom_sizes))
         return np.array([0, 0, hi])
 
     @property
@@ -319,3 +320,19 @@ class CompositeBoxObject(MujocoObject):
 # reference naming: generated_objects.py CompositeObject == multi-geom
 # single body; CompositeBodyObject == multi-body assembly
 CompositeObject = CompositeBoxObject
+
+
+# reusable composite library (reference models/objects/composite/*.py,
+# composite_body/*.py) — importable from robosuite_tpu.models.objects
+from robosuite_tpu.models.objects.composite_objects import (  # noqa: E402,F401
+    BinObject,
+    ConeObject,
+    HammerObject,
+    HingedBoxObject,
+    HollowCylinderObject,
+    HookFrame,
+    LidObject,
+    PotWithHandlesObject,
+    RatchetingWrench,
+    StandWithMount,
+)
