@@ -37,10 +37,11 @@ LANES = 128
 # VMEM feasibility gate for the fused vel-solver kernel: its scoped live set
 # is dominated by the whitened operator Y (nv x ntot rows) plus the incoming
 # JfT block, both double-buffered across grid steps — measured 25.12M scoped
-# at nv*ntot = 9504 (Sawyer PickPlaceCan, compacted 96 slots), vs the 16M
-# limit. Worlds past this row budget route to the XLA APGD path instead of
-# failing to compile; it's slower (HBM-streamed iterations) but correct.
-PALLAS_VEL_ROWS_MAX = 7000
+# at nv*ntot = 9504 (Sawyer PickPlaceCan) and 17.13M at 6912 (TwoArmLift
+# 2xPanda), vs the 16M limit. Worlds past this row budget run one 128-lane
+# chunk per pallas_call (grid=1, no pipeline buffers) instead of the
+# pipelined multi-step grid.
+PALLAS_VEL_ROWS_MAX = 6000
 
 
 def _vel_update_xla(M, JfT, aref, qfrc_smooth, qvel, damping, reg3, mu, active,
@@ -313,9 +314,31 @@ def _pallas_solver(nv, ntot, K, ne, iters, power_iters, dt_step, dtype_name):
 
     kernel = _make_kernel(nv, ntot, K, ne, iters, power_iters, dt_step)
 
+    # big-row worlds (Sawyer PickPlace, TwoArm): a multi-step grid
+    # double-buffers the (nv, ntot, 128) JfT block next to the whitened Y,
+    # blowing scoped VMEM (measured 25.12M vs 16M at nv*ntot = 9504). One
+    # 128-lane chunk per pallas_call (grid=1) skips the pipelining buffers
+    # and fits; small worlds keep the pipelined multi-step grid.
+    chunked = nv * ntot > PALLAS_VEL_ROWS_MAX
+
     def spec(*dims):
         return pl.BlockSpec(dims + (LANES,), lambda i: (0,) * len(dims) + (i,),
                             memory_space=pltpu.VMEM)
+
+    def call(args, g):
+        return pl.pallas_call(
+            kernel,
+            grid=(g,),
+            in_specs=[
+                spec(nv, nv), spec(nv, ntot), spec(ntot), spec(nv), spec(nv),
+                spec(nv), spec(ntot), spec(K), spec(K),
+            ],
+            out_specs=(spec(nv), spec(ntot)),
+            out_shape=(
+                jax.ShapeDtypeStruct((nv, g * LANES), args[0].dtype),
+                jax.ShapeDtypeStruct((ntot, g * LANES), args[0].dtype),
+            ),
+        )(*args)
 
     @jax.jit
     def solve_batched(M, JfT, aref, qfrc_smooth, qvel, damping, reg3, mu, active):
@@ -332,20 +355,16 @@ def _pallas_solver(nv, ntot, K, ne, iters, power_iters, dt_step, dtype_name):
 
         args = tuple(prep(a) for a in
                      (M, JfT, aref, qfrc_smooth, qvel, damping, reg3, mu, active))
-        grid = (Bp // LANES,)
-        qvel_new, f = pl.pallas_call(
-            kernel,
-            grid=grid,
-            in_specs=[
-                spec(nv, nv), spec(nv, ntot), spec(ntot), spec(nv), spec(nv),
-                spec(nv), spec(ntot), spec(K), spec(K),
-            ],
-            out_specs=(spec(nv), spec(ntot)),
-            out_shape=(
-                jax.ShapeDtypeStruct((nv, Bp), JfT.dtype),
-                jax.ShapeDtypeStruct((ntot, Bp), JfT.dtype),
-            ),
-        )(*args)
+        G = Bp // LANES
+        if not chunked or G == 1:
+            qvel_new, f = call(args, G)
+        else:
+            outs = [
+                call(tuple(a[..., c * LANES : (c + 1) * LANES] for a in args), 1)
+                for c in range(G)
+            ]
+            qvel_new = jnp.concatenate([o[0] for o in outs], axis=-1)
+            f = jnp.concatenate([o[1] for o in outs], axis=-1)
         return jnp.moveaxis(qvel_new, -1, 0)[:B], jnp.moveaxis(f, -1, 0)[:B]
 
     return solve_batched
@@ -371,7 +390,7 @@ def make_vel_solver(nv, ntot, K, ne, iters, power_iters, dt_step):
             return x if b else jnp.broadcast_to(x[None], (axis_size,) + x.shape)
 
         args = [bc(a, b) for a, b in zip(batched_args, in_batched)]
-        if jax.default_backend() == "tpu" and nv * ntot <= PALLAS_VEL_ROWS_MAX:
+        if jax.default_backend() == "tpu":
             if not _flat_cache:
                 from robosuite_tpu.ops.vmap_flat import flat_batched
 

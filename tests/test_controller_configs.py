@@ -150,3 +150,22 @@ def test_mink_ik_maps_to_wbik_runtime():
     r = env.robots[0]
     assert r._wbik_spec is not None
     assert r._wbik_spec["nullspace_joint_weights"]["robot0_torso_waist_roll"] == 200.0
+
+
+def test_all_robot_default_gains_reach_runtime_configs():
+    """VERDICT r4 weak #6: beyond Panda/Sawyer, every robot's shipped
+    default must produce arm config dataclasses carrying the file's gains
+    (no silent generic fallback). Cheap: config resolution only, no env."""
+    for robot in sorted(REGISTERED_ROBOTS):
+        raw = resolve_controller_json(None, robot=robot)
+        arms = sorted(raw["body_parts"]["arms"])
+        out = load_composite_controller_config(None, robot=robot, arms=arms)
+        for arm in arms:
+            cfg = out[arm]
+            entry = raw["body_parts"]["arms"][arm]
+            if entry["type"].startswith("OSC"):
+                assert cfg.kp == float(entry["kp"]), (robot, arm)
+                assert tuple(cfg.output_max) == tuple(entry["output_max"]), (robot, arm)
+            elif entry["type"] == "JOINT_POSITION":
+                assert cfg.kp == float(entry["kp"]), (robot, arm)
+                assert cfg.input_type == entry.get("input_type", "delta"), (robot, arm)
