@@ -31,6 +31,14 @@ class JointPosConfig:
     damping_ratio_limits: Tuple[float, float] = (0.0, 100.0)
     input_type: str = "delta"
     use_torque_compensation: bool = True
+    # raw position servo: tau = kp e - kd qdot (+ bias), WITHOUT the
+    # mass-matrix shaping — the law a model's <position kp kv> actuator
+    # class specifies (e.g. Spot's leg servos, spot robot.xml kp=500
+    # kv=40). Inertia-shaped PD is far too soft for gravity-loaded support
+    # joints: effective stiffness M_jj*kp ~ 30 Nm/rad at kp=1000 for a
+    # knee, under a ~25 Nm body-weight moment.
+    raw_pd: bool = False
+    kd: Optional[Any] = None  # raw_pd: explicit kv (None -> 2 sqrt(kp) dr)
 
     @property
     def control_dim(self) -> int:
@@ -64,7 +72,10 @@ class JointPosState:
 
 def init_state(cfg: JointPosConfig, view: ArmView) -> JointPosState:
     kp = jnp.asarray(nums2array(cfg.kp, cfg.dim))
-    kd = 2.0 * jnp.sqrt(kp) * jnp.asarray(nums2array(cfg.damping_ratio, cfg.dim))
+    if cfg.kd is not None:
+        kd = jnp.asarray(nums2array(cfg.kd, cfg.dim))
+    else:
+        kd = 2.0 * jnp.sqrt(kp) * jnp.asarray(nums2array(cfg.damping_ratio, cfg.dim))
     return JointPosState(goal_qpos=view.joint_pos, kp=kp, kd=kd)
 
 
@@ -95,6 +106,10 @@ def set_goal(cfg: JointPosConfig, state: JointPosState, view: ArmView, action) -
 def run(cfg: JointPosConfig, state: JointPosState, view: ArmView):
     position_error = state.goal_qpos - view.joint_pos
     desired_torque = position_error * state.kp - view.joint_vel * state.kd
+    if cfg.raw_pd:
+        if cfg.use_torque_compensation:
+            return desired_torque + view.torque_compensation
+        return desired_torque
     if cfg.use_torque_compensation:
         return view.mass_matrix @ desired_torque + view.torque_compensation
     return desired_torque

@@ -140,12 +140,14 @@ class RobotEnv:
             cfgs = [cfgs] * len(self.robot_models)
         # reference robots/__init__.py:15-34 ROBOT_CLASS_MAPPING: wheeled and
         # legged robots get the MobileRobot runtime (torso/head/base parts)
-        from robosuite_tpu.robots.robot import MobileRobot
+        from robosuite_tpu.robots.robot import LeggedRobot, MobileRobot
 
         self.robots = [
-            (MobileRobot if getattr(rm, "robot_kind", "fixed") in ("wheeled", "legged") else FixedBaseRobot)(
-                self.model, rm, cfg
-            )
+            (
+                LeggedRobot if getattr(rm, "robot_kind", "fixed") == "legged"
+                else MobileRobot if getattr(rm, "robot_kind", "fixed") == "wheeled"
+                else FixedBaseRobot
+            )(self.model, rm, cfg)
             for rm, cfg in zip(self.robot_models, cfgs)
         ]
 
@@ -172,13 +174,15 @@ class RobotEnv:
         rebuild the runtime robots — the analog of the reference's
         hard-reset XML-processor path (environments/base.py:290-295,
         visualization_wrapper.py:74-80)."""
-        from robosuite_tpu.robots.robot import MobileRobot
+        from robosuite_tpu.robots.robot import LeggedRobot, MobileRobot
 
         self.model = self.task.compile(dtype=self._model_dtype)
         self.robots = [
-            (MobileRobot if getattr(rm, "robot_kind", "fixed") in ("wheeled", "legged") else FixedBaseRobot)(
-                self.model, rm, cfg
-            )
+            (
+                LeggedRobot if getattr(rm, "robot_kind", "fixed") == "legged"
+                else MobileRobot if getattr(rm, "robot_kind", "fixed") == "wheeled"
+                else FixedBaseRobot
+            )(self.model, rm, cfg)
             for rm, cfg in zip(self.robot_models, self._controller_cfgs)
         ]
         self._setup_references()

@@ -248,9 +248,23 @@ class Spot(RobotBaseModel):
         # reference spot_base.py:26-28: (hx, hy, kn) x (fr, fl, hr, hl)
         return np.array([0.0, 0.9, -1.8] * 4)
 
+    # raw leg position-servo gains (reference spot robot.xml default class
+    # "spot": <position kp="500" kv="40">) — the stiffness the model was
+    # designed to stand with; LeggedRobot drives the legs with this servo
+    leg_servo = (500.0, 40.0)
+
     @property
     def top_offset(self):
         return np.array((0.0, 0.0, 0.0))
+
+    @property
+    def bottom_offset(self):
+        # standing-pose FK at init_qpos (hy=0.9, kn=-1.8): the foot-sphere
+        # centers sit 0.684 below the placement origin (0.648 + the 0.036
+        # foot radius, measured via kinematics.fk at reset) — without this
+        # the robot spawns with its feet underground and collapses instead
+        # of standing
+        return np.array((0.0, 0.0, -0.684))
 
     @property
     def horizontal_radius(self):

@@ -282,6 +282,23 @@ def _geom_mass_inertia_primitive(g: S.GeomSpec, meshes=None):
     return 0.0, np.zeros((3, 3))
 
 
+def _quat_mul_np(q1, q2):
+    w1, x1, y1, z1 = q1
+    w2, x2, y2, z2 = q2
+    return np.array(
+        [
+            w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+            w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+            w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+            w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+        ]
+    )
+
+
+def _quat_rot_np(q, v):
+    return _quat2mat_np(q) @ v
+
+
 def _quat2mat_np(q):
     w, x, y, z = q
     return np.array(
@@ -543,9 +560,24 @@ def compile_spec(ms: S.ModelSpec, dtype=np.float32) -> Model:
         t = S.JOINT_TYPES[j.type]
         adr = jnt_qposadr[jid]
         if t == S.FREE:
-            b = bodies[jnt_bodyid[jid]]
-            qpos0[adr : adr + 3] = b.pos
-            qpos0[adr + 3 : adr + 7] = b.quat
+            # free-joint qpos is the body's WORLD pose (MuJoCo semantics):
+            # initialize from the pose composed through the ancestor chain,
+            # not the body's local offset — a free body nested under a
+            # placed robot root (e.g. Spot's legged base) must spawn where
+            # the placement put it
+            bi = jnt_bodyid[jid]
+            w_pos = np.zeros(3)
+            w_quat = np.array([1.0, 0.0, 0.0, 0.0])
+            chain = []
+            while bi != 0:
+                chain.append(bi)
+                bi = body_parentid[bi]
+            for bi in reversed(chain):
+                b = bodies[bi]
+                w_pos = w_pos + _quat_rot_np(w_quat, np.asarray(b.pos, dtype=np.float64))
+                w_quat = _quat_mul_np(w_quat, np.asarray(b.quat, dtype=np.float64))
+            qpos0[adr : adr + 3] = w_pos
+            qpos0[adr + 3 : adr + 7] = w_quat
             qpos_spring[adr : adr + 7] = qpos0[adr : adr + 7]
         elif t == S.BALL:
             qpos0[adr] = 1.0

@@ -141,6 +141,13 @@ class FixedBaseRobot:
             controller_config.get("type")
             if isinstance(controller_config, dict) else None
         )
+        # raw resolved composite config (MobileRobot reads part entries —
+        # torso/head/base/legs gains — from its body_parts)
+        self._composite_json = (
+            controller_config
+            if isinstance(controller_config, dict) and "body_parts" in controller_config
+            else None
+        )
         if isinstance(controller_config, dict) and controller_config.get("type") == "WHOLE_BODY_MINK_IK":
             controller_config = dict(controller_config)
             controller_config["type"] = "WHOLE_BODY_IK"
@@ -628,13 +635,27 @@ class MobileRobot(FixedBaseRobot):
         self.base_center_site = model.site_name2id(rm.base.center_site)
 
         kp = getattr(rm, "part_controller_kp", {})
+        # part entries from the resolved composite JSON (robot-default
+        # config files, controllers/config/robots/) override the built-in
+        # gains — the reference's per-part config path
+        # (mobile_robot.py _load_torso/head/leg_controller)
+        bp = (self._composite_json or {}).get("body_parts", {})
         self.part_cfg = {}
         # torso/head/legs default to JOINT_POSITION kp=1000 (basic.json)
         for part in ("torso", "head", "legs"):
             if len(self.part_qpos_idx[part]):
+                entry = bp.get(part) if isinstance(bp.get(part), dict) else {}
+                # legs default to DELTA input (the reference JOINT_POSITION
+                # default; legged_robot.py leg stack) so a zero action HOLDS
+                # the standing posture; torso/head keep the absolute-goal
+                # convention the shipped configs specify explicitly
+                default_it = "delta" if part == "legs" else "absolute"
                 self.part_cfg[part] = jp_mod.JointPosConfig(
-                    dim=len(self.part_qpos_idx[part]), kp=kp.get(part, 1000.0),
-                    input_type="absolute", output_max=0.5, output_min=-0.5,
+                    dim=len(self.part_qpos_idx[part]),
+                    kp=float(entry.get("kp", kp.get(part, 1000.0))),
+                    input_type=entry.get("input_type", default_it),
+                    output_max=float(entry.get("output_max", 0.5)),
+                    output_min=float(entry.get("output_min", -0.5)),
                 )
         if len(self.part_qpos_idx["base"]):
             self.part_cfg["base"] = mb_mod.MobileBaseJointVelConfig(dim=len(self.part_qpos_idx["base"]))
@@ -770,3 +791,101 @@ class MobileRobot(FixedBaseRobot):
             )
             ctrl = ctrl.at[aid].set(v)
         return ctrl
+
+
+class LeggedRobot(MobileRobot):
+    """Legged robot runtime (reference robots/legged_robot.py:17-253):
+    MobileRobot plus leg-specific control composition.
+
+    Specializations mirroring the reference:
+      * legs run a dedicated JOINT_POSITION stack with immediate goal
+        application (legged_robot.py:46-60 forces ramp_ratio=1.0 — no goal
+        interpolation) and gains from the robot's composite config
+        (body_parts["legs"], task-3 config files);
+      * leg init posture comes from the leg-base model's init_qpos at reset
+        (legged_robot.py:120-135; applied in envs/base._initial_qpos);
+      * is_legs_actuated / num_leg_joints gate the leg stack
+        (legged_robot.py:248-253) — GR1FixedLowerBody has leg joints frozen
+        out of the model, so the stack degrades to MobileRobot behavior.
+
+    Deliberate deviation: delta leg commands anchor to the STANDING POSTURE
+    (base.init_qpos), not the current joints. The reference re-anchors the
+    goal at the current position every policy step (joint_pos.py:224-226),
+    so a zero command lets gravity ratchet the stance down tick by tick —
+    the robot slowly collapses. Anchoring at the posture makes zero-action
+    standing a fixed point while deltas still command relative motion;
+    configure the legs part with input_type "absolute" to get raw
+    joint-position goals instead.
+    """
+
+    def __init__(self, model, robot_model, controller_config=None):
+        super().__init__(model, robot_model, controller_config)
+        import dataclasses as _dc
+
+        self._legs_anchor = None
+        self._legs_delta_arrays = None
+        cfg = self.part_cfg.get("legs")
+        liq = self.legs_init_qpos
+        # leg bases that declare raw servo gains (Spot's <position kp kv>
+        # actuator class) drive the legs with that servo instead of the
+        # inertia-shaped PD — the stiffness the model stands with
+        servo = getattr(self.rm.base, "leg_servo", None)
+        if cfg is not None and servo is not None:
+            cfg = _dc.replace(cfg, raw_pd=True, kp=float(servo[0]), kd=float(servo[1]))
+            self.part_cfg["legs"] = cfg
+        if cfg is not None and cfg.input_type == "delta" and liq is not None:
+            self._legs_anchor = jnp.asarray(liq)
+            from robosuite_tpu.controllers.base import nums2array
+
+            self._legs_delta_arrays = (
+                jnp.asarray(nums2array(cfg.input_min, cfg.dim)),
+                jnp.asarray(nums2array(cfg.input_max, cfg.dim)),
+                jnp.asarray(nums2array(cfg.output_min, cfg.dim)),
+                jnp.asarray(nums2array(cfg.output_max, cfg.dim)),
+            )
+            # the part controller sees posture-anchored absolute goals
+            self.part_cfg["legs"] = _dc.replace(cfg, input_type="absolute")
+
+    def set_goals(self, kin, M, bias, qpos, qvel, ctrl_state: RobotCtrlState, action) -> RobotCtrlState:
+        # under WBIK / custom composites the action carries eef targets only
+        # (no legs slice) — the parts stack holds the legs internally
+        idx = self.action_split_indexes()
+        if self._legs_anchor is not None and "legs" in idx:
+            from robosuite_tpu.controllers import control_utils as C
+
+            s, e = idx["legs"]
+            imin, imax, omin, omax = self._legs_delta_arrays
+            scaled = C.scale_action(action[..., s:e], imin, imax, omin, omax)
+            action = action.at[..., s:e].set(self._legs_anchor + scaled)
+        return super().set_goals(kin, M, bias, qpos, qvel, ctrl_state, action)
+
+    @property
+    def is_legs_actuated(self) -> bool:
+        return len(self.part_actuator_ids["legs"]) > 0
+
+    @property
+    def num_leg_joints(self) -> int:
+        return len(self.part_qpos_idx["legs"])
+
+    @property
+    def legs_init_qpos(self):
+        """The standing posture for the leg joints: the leg base's
+        init_qpos (Spot), else the reset posture of robot-card legs (GR1),
+        else None (floating/de-legged variants)."""
+        base = self.rm.base
+        if base is not None and getattr(base, "leg_joints", None):
+            liq = np.asarray(base.init_qpos, dtype=np.float32)
+            if len(liq):
+                return liq[: self.num_leg_joints]
+        if self.num_leg_joints:
+            iq = np.asarray(self.rm.init_qpos, dtype=np.float32)
+            pos = {int(a): i for i, a in enumerate(self.init_qpos_idx)}
+            q0 = np.asarray(self.model.qpos0)
+            vals = [
+                iq[pos[int(a)]]
+                if len(iq) == len(self.init_qpos_idx) and int(a) in pos
+                else float(q0[int(a)])
+                for a in self.part_qpos_idx["legs"]
+            ]
+            return np.asarray(vals, dtype=np.float32)
+        return None
