@@ -558,6 +558,15 @@ def narrowphase(model, kin, pairs=None):
             t1, t2 = t2, t1
         groups.setdefault((int(t1), int(t2)), []).append((int(g1), int(g2), int(k), flip))
 
+    # lane-form group kernels (ops/pallas_substep.py _LANE_DISPATCH, the
+    # megakernel's narrowphase formulas): the vmapped per-pair kernels put
+    # the 3-vector dim minor, which TPU tiling pads to 128 lanes — ~40x
+    # wasted bandwidth (measured 19.9 ms/substep for NutAssembly's 138
+    # box-box pairs at B=512). Evaluating the SAME formulas on per-pair
+    # component arrays makes every intermediate (..., P), which tiles
+    # cleanly; mesh/hull groups keep the vmapped path.
+    from robosuite_tpu.ops.pallas_substep import _LANE_DISPATCH
+
     dists, poss, nrms = [], [], []
     con_body1, con_body2, con_pair = [], [], []
     for (t1, t2), items in sorted(groups.items()):
@@ -571,10 +580,32 @@ def narrowphase(model, kin, pairs=None):
                 return (model.mesh_verts[mids], model.mesh_fnorm[mids], model.mesh_fdist[mids])
             return jnp.asarray(model.geom_size)[gs]
 
-        d, p, n = jax.vmap(fn)(
-            kin.geom_xpos[g1s], kin.geom_xmat[g1s], side_operand(g1s, t1),
-            kin.geom_xpos[g2s], kin.geom_xmat[g2s], side_operand(g2s, t2),
-        )  # d: (P, npts), p/n: (P, npts, 3)
+        lane_fn = _LANE_DISPATCH.get((t1, t2)) if S.MESH not in (t1, t2) else None
+        if lane_fn is not None:
+            def lanes_of(gs):
+                pos_c = tuple(kin.geom_xpos[gs, i] for i in range(3))
+                mat_c = [[kin.geom_xmat[gs, i, j] for j in range(3)] for i in range(3)]
+                sz = jnp.asarray(model.geom_size)[gs]
+                sz_c = tuple(sz[:, i] for i in range(3))
+                return pos_c, mat_c, sz_c
+
+            p1c, R1c, s1c = lanes_of(g1s)
+            p2c, R2c, s2c = lanes_of(g2s)
+            rows = lane_fn(p1c, R1c, s1c, p2c, R2c, s2c)
+            P = len(items)
+            bc = lambda x: jnp.broadcast_to(jnp.asarray(x), rows[0][0].shape)  # noqa: E731
+            d = jnp.stack([r[0] for r in rows], axis=-1)  # (P, ncand)
+            p = jnp.stack(
+                [jnp.stack([bc(c) for c in r[1]], axis=-1) for r in rows], axis=-2
+            )  # (P, ncand, 3)
+            n = jnp.stack(
+                [jnp.stack([bc(c) for c in r[2]], axis=-1) for r in rows], axis=-2
+            )
+        else:
+            d, p, n = jax.vmap(fn)(
+                kin.geom_xpos[g1s], kin.geom_xmat[g1s], side_operand(g1s, t1),
+                kin.geom_xpos[g2s], kin.geom_xmat[g2s], side_operand(g2s, t2),
+            )  # d: (P, npts), p/n: (P, npts, 3)
         flip_sign = np.array([-1.0 if it[3] else 1.0 for it in items], dtype=np.float32)
         n = n * flip_sign[:, None, None]
         # manifold reduction: keep the (model-aware) cap's deepest points per
